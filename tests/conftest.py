@@ -1,0 +1,10 @@
+"""Test harness: force the CPU backend with 8 virtual devices so sharding tests
+exercise a real multi-device mesh without TPU hardware (SURVEY §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

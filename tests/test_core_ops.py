@@ -1,0 +1,276 @@
+"""Unit tests for the substrate: sequences, PN, encoder, CRC, CHK/PHI, RNG."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polardecoding_tpu.utils.sequences import (
+    reliability_sequence,
+    info_set,
+    frozen_mask,
+    bit_reversal,
+)
+from polardecoding_tpu.utils.pn import pn_sequence, payload_bits_host, PN_PERIOD
+from polardecoding_tpu.utils.gf2 import (
+    dense_generator,
+    encode_dense,
+    stage_transfer_matrices,
+    stage_projection_supports,
+)
+from polardecoding_tpu.utils.rng import Ranq1, MarsagliaNormal, golden_noise
+from polardecoding_tpu.ops.encode import polar_encode, scatter_info
+from polardecoding_tpu.ops import crc as crc_ops
+from polardecoding_tpu.ops.chk import chk, chk_exact, phi_penalty, phi_penalties_both
+
+import reference_impl as ref
+
+
+def test_reliability_tables():
+    for N in (128, 1024):
+        q = reliability_sequence(N)
+        assert sorted(q.tolist()) == list(range(N))
+    # spot values from the reference listing (SC_128.c:42-51)
+    q = reliability_sequence(128)
+    assert q[0] == 0 and q[1] == 1 and q[-1] == 127 and q[7] == 3
+
+
+def test_info_set_and_frozen_mask():
+    I = info_set(128, 64)
+    assert len(I) == 64
+    mask = frozen_mask(128, 64)
+    assert mask.sum() == 64
+    assert not mask[I].any()
+    # CA-SCL style: K + r most reliable
+    I70 = info_set(128, 70)
+    assert set(I.tolist()) <= set(I70.tolist())
+
+
+def test_bit_reversal_involution():
+    for N in (8, 128, 1024):
+        b = bit_reversal(N)
+        assert (b[b] == np.arange(N)).all()
+    assert bit_reversal(8).tolist() == [0, 4, 2, 6, 1, 5, 3, 7]
+
+
+def test_pn_sequence_period_and_balance():
+    pn = pn_sequence()
+    assert len(pn) == 63
+    assert pn[:6].tolist() == [1, 0, 0, 0, 0, 0]
+    # maximal-length property of a 6-bit LFSR: 32 ones, 31 zeros
+    assert pn.sum() == 32
+    # continuing the LFSR another 63 steps reproduces the same period
+    # (implicitly guaranteed by construction; check a known tap identity)
+    ext = np.concatenate([pn, pn])
+    for i in range(63, 126):
+        assert ext[i] == ext[i - 63]
+
+
+def test_payload_rotation_matches_reference_rule():
+    K = 64
+    pn = pn_sequence()
+    # frame f uses PN[(m + i) % 63] with m = f * (K % 63) (SC_128.c:179-181, 214-215)
+    for f in (0, 1, 5, 62, 63, 100):
+        got = payload_bits_host(f, K)
+        m = (f * (K % 63)) % 63
+        want = pn[(m + np.arange(K)) % 63]
+        assert (got == want).all()
+
+
+@pytest.mark.parametrize("N", [4, 8, 32, 128])
+def test_butterfly_encoder_matches_dense_generator(N):
+    rng = np.random.default_rng(0)
+    G = dense_generator(N)
+    u = rng.integers(0, 2, size=(16, N)).astype(np.int8)
+    want = encode_dense(u, G)
+    got = np.asarray(polar_encode(jnp.asarray(u)))
+    assert (got == want % 2).all()
+
+
+def test_dense_generator_is_involution():
+    G = dense_generator(32)
+    assert ((G @ G) % 2 == np.eye(32)).all()
+
+
+def test_scatter_info():
+    I = info_set(128, 64)
+    payload = jnp.ones((3, 64), dtype=jnp.int8)
+    u = scatter_info(payload, I, 128)
+    assert np.asarray(u).sum() == 3 * 64
+    assert (np.asarray(u)[:, I] == 1).all()
+
+
+def test_stage_transfer_matrices():
+    N = 16
+    mats = stage_transfer_matrices(N)
+    G = dense_generator(N)
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, 2, size=N).astype(np.uint8)
+    # propagate u through the butterfly stages, checking u = v_i . T[i]
+    v = u.copy()
+    from polardecoding_tpu.utils.gf2 import _stage_matrix
+
+    for i, T in enumerate(mats):
+        assert ((v @ T) % 2 == u).all(), f"stage {i}"
+        if i < len(mats) - 1:
+            v = (v @ _stage_matrix(N, i)) % 2
+    # after all stages v is the codeword
+    assert (v == (u @ G) % 2).all()
+    sup = stage_projection_supports(N)
+    assert all(len(s) == N for s in sup)
+    assert all((sup[0][b] == [b]).all() for b in range(N))
+
+
+# ---------------------------------------------------------------- CRC
+
+
+@pytest.mark.parametrize(
+    "exps,k", [(crc_ops.CRC6_EXPONENTS, 64), (crc_ops.CRC24_EXPONENTS, 40)]
+)
+def test_crc_multiplicative_roundtrip(exps, k):
+    rng = np.random.default_rng(2)
+    m = rng.integers(0, 2, size=(32, k)).astype(np.int8)
+    w = np.asarray(crc_ops.crc_encode_multiplicative(jnp.asarray(m), exps))
+    R = crc_ops.check_matrix(exps, k + crc_ops.crc_degree(exps))
+    assert np.asarray(crc_ops.crc_passes(jnp.asarray(w), R)).all()
+    # single-bit corruption always fails (g has nonzero constant term)
+    w2 = w.copy()
+    w2[:, rng.integers(0, w.shape[1])] ^= 1
+    assert not np.asarray(crc_ops.crc_passes(jnp.asarray(w2), R)).any()
+
+
+def test_crc_multiplicative_matches_polynomial_multiply():
+    # w(D) = m(D) g(D): check coefficients directly for CRC-6
+    k = 10
+    m = np.zeros(k, dtype=np.int8)
+    m[3] = 1
+    w = np.asarray(crc_ops.crc_encode_multiplicative(jnp.asarray(m[None]), crc_ops.CRC6_EXPONENTS))[0]
+    want = np.zeros(k + 6, dtype=np.int8)
+    for e in (0, 5, 6):
+        want[3 + e] ^= 1
+    assert (w == want).all()
+
+
+@pytest.mark.parametrize(
+    "exps,k", [(crc_ops.CRC6_EXPONENTS, 63), (crc_ops.CRC24_EXPONENTS, 512)]
+)
+def test_crc_systematic_roundtrip(exps, k):
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 2, size=(8, k)).astype(np.int8)
+    w = np.asarray(crc_ops.crc_encode_systematic(jnp.asarray(v), exps))
+    r = crc_ops.crc_degree(exps)
+    # systematic part preserved
+    assert (w[:, r:] == v).all()
+    R = crc_ops.check_matrix(exps, k + r)
+    assert np.asarray(crc_ops.crc_passes(jnp.asarray(w), R)).all()
+
+
+def test_crc_check_matches_long_division():
+    """Syndrome matvec == the reference's in-place long division."""
+    rng = np.random.default_rng(4)
+    exps = crc_ops.CRC6_EXPONENTS
+    r = 6
+    length = 70
+
+    def long_division_passes(C):
+        C = C.copy()
+        for i in range(length - 1, r - 1, -1):
+            if C[i] == 1:
+                C[i] = 0
+                C[i - 1] ^= 1
+                C[i - 6] ^= 1
+        return not C[:r].any()
+
+    R = crc_ops.check_matrix(exps, length)
+    for _ in range(50):
+        C = rng.integers(0, 2, size=length).astype(np.int8)
+        want = long_division_passes(C)
+        got = bool(np.asarray(crc_ops.crc_passes(jnp.asarray(C[None]), R))[0])
+        assert got == want
+
+
+def test_crc6_data_file_consistency():
+    """CRC_6.dat in the reference is a 63 x 6 systematic parity table for up to
+    63 message bits; our derived Gc must match it row-for-row."""
+    rows = []
+    with open("/root/reference/CRC_6.dat", encoding="utf-16") as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                rows.append([int(x) for x in parts])
+    ref_gc = np.array(rows, dtype=np.uint8)
+    ours = crc_ops.systematic_parity_matrix(crc_ops.CRC6_EXPONENTS, ref_gc.shape[0])
+    assert ours.shape == ref_gc.shape
+    assert (ours == ref_gc).all()
+
+
+# ---------------------------------------------------------------- CHK / PHI
+
+
+def test_chk_matches_scalar_reference():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=500) * 3
+    b = rng.normal(size=500) * 3
+    # include exact bin-edge values
+    a[:8] = [0.196, 0.433, 0.71, 1.05, 1.508, 2.252, 4.5, 0.0]
+    b[:8] = 1.0
+    want = np.array([ref.chk(x, y) for x, y in zip(a, b)])
+    got = np.asarray(chk(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_chk_exact_is_boxplus():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=200) * 2
+    b = rng.normal(size=200) * 2
+    want = 2 * np.arctanh(np.clip(np.tanh(a / 2) * np.tanh(b / 2), -1 + 1e-15, 1 - 1e-15))
+    got = np.asarray(chk_exact(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_phi_penalty_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    l = rng.normal(size=300) * 4
+    l[:3] = [0.0, 0.196, -4.5]
+    for u in (0, 1):
+        want = np.array([ref.phi_penalty(x, u) for x in l])
+        got = np.asarray(phi_penalty(jnp.asarray(l), u))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    p0, p1 = phi_penalties_both(jnp.asarray(l))
+    np.testing.assert_allclose(
+        np.asarray(p0), [ref.phi_penalty(x, 0) for x in l], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1), [ref.phi_penalty(x, 1) for x in l], atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------- RNG
+
+
+def test_ranq1_known_stream_properties():
+    r1 = Ranq1(1024)
+    r2 = Ranq1(1024)
+    seq1 = [r1.uniform() for _ in range(100)]
+    seq2 = [r2.uniform() for _ in range(100)]
+    assert seq1 == seq2
+    assert all(0.0 <= x < 1.0 for x in seq1)
+    r3 = Ranq1(1025)
+    assert [r3.uniform() for _ in range(10)] != seq1[:10]
+
+
+def test_marsaglia_moments():
+    gen = MarsagliaNormal(7)
+    xs = []
+    for _ in range(4000):
+        a, b = gen.pair(1.0)
+        xs += [a, b]
+    xs = np.array(xs)
+    assert abs(xs.mean()) < 0.05
+    assert abs(xs.std() - 1.0) < 0.05
+
+
+def test_golden_noise_shape_and_pairing():
+    y = golden_noise(3, 2, 8, 0.5)
+    assert y.shape == (2, 8)
+    # deterministic given seed
+    y2 = golden_noise(3, 2, 8, 0.5)
+    assert (y == y2).all()
