@@ -54,11 +54,10 @@ def chk_exact(a, b):
     variant archived in myResult_128.zip:BP128out_SPA.txt.  Computed in the
     numerically stable min-sum + log1p form."""
     s = jnp.where((a >= 0) == (b >= 0), 1.0, -1.0).astype(a.dtype)
-    aa, ab = jnp.abs(a), jnp.abs(b)
-    m = jnp.minimum(aa, ab)
+    m = jnp.minimum(jnp.abs(a), jnp.abs(b))
     return (
         s * m
-        + jnp.log1p(jnp.exp(-(aa + ab)))
+        + jnp.log1p(jnp.exp(-jnp.abs(a + b)))
         - jnp.log1p(jnp.exp(-jnp.abs(a - b)))
     )
 

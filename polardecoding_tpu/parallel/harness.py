@@ -1,0 +1,305 @@
+"""Monte-Carlo simulation harness: batched frame pipeline + adaptive-stop sweep.
+
+TPU-native re-design of every reference program's main() (SURVEY §2.1 harness
+row, §3.1-3.3 call stacks):
+
+  reference (per frame, serial)            here (per super-batch, jit + sharded)
+  ---------------------------------        -------------------------------------
+  payload from PN window                   PN gather, frame-index arithmetic
+  encode x = u . Fn  (O(N^2) stdin matrix) O(N log N) butterfly encode
+  normal() noise loop                      counter-based per-frame keys
+  decode                                   batched decoder (bp/sc/scl/cascl)
+  count info-bit errors                    vectorized compare + scalar reduce
+  stop when errBlock >= target             host-side stop on psum'd counters
+
+Payloads and noise are pure functions of (seed, frame index), so results are
+independent of batch size, device count, and sharding — the reference's
+implicit resumability (SURVEY §5 checkpoint note) made explicit: any
+(seed, frame-range) segment can be recomputed bit-identically.
+
+Error-count conventions follow the reference exactly: block error = any
+mismatch over the info set I (all K + r positions for CA-SCL,
+CASCL_128.c:245-252; K positions otherwise, BP_128.c:203-210); BLER =
+errBlock / run.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from polardecoding_tpu.configs import Preset
+from polardecoding_tpu.models.bp import bp_decode
+from polardecoding_tpu.models.sc import sc_decode
+from polardecoding_tpu.models.scl import cascl_decode, scl_decode
+from polardecoding_tpu.ops.channel import awgn_llr
+from polardecoding_tpu.ops.crc import check_matrix, crc_encode_multiplicative, crc_encode_systematic
+from polardecoding_tpu.ops.encode import polar_encode, scatter_info
+from polardecoding_tpu.parallel.mesh import batch_sharding, data_mesh, round_up_batch
+from polardecoding_tpu.utils.pn import PN_PERIOD, pn_sequence
+from polardecoding_tpu.utils.sequences import frozen_mask, info_set
+
+
+@dataclasses.dataclass
+class PointResult:
+    """One SNR point — the structured replacement for the reference's four
+    incompatible printf scales (SURVEY §5 metrics note)."""
+
+    preset: str
+    snr_db: float
+    errbit: int
+    errblock: int
+    frames: int
+    seed: int
+    elapsed_s: float = 0.0
+
+    @property
+    def bler(self) -> float:
+        return self.errblock / max(self.frames, 1)
+
+    @property
+    def ber(self) -> float:
+        # reference divides by the number of counted info bits per frame
+        return self.errbit / max(self.frames, 1)
+
+    def to_json(self, num_info: int) -> dict:
+        return {
+            "preset": self.preset,
+            "snr_db": self.snr_db,
+            "errbit": self.errbit,
+            "errblock": self.errblock,
+            "frames": self.frames,
+            "bler": self.bler,
+            "ber": self.errbit / max(self.frames * num_info, 1),
+            "seed": self.seed,
+            "elapsed_s": self.elapsed_s,
+        }
+
+
+def payload_from_index(frame_index, pn, K: int):
+    """PN-window payload per frame (ref: SC_128.c:179-181, 214-215):
+    payload[b, i] = PN[(m_b + i) % 63], m_b = (frame_index * (K % 63)) % 63."""
+    step = K % PN_PERIOD
+    m = (frame_index * step) % PN_PERIOD
+    idx = (m[:, None] + jnp.arange(K)[None, :]) % PN_PERIOD
+    return pn[idx]
+
+
+def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
+    """Build the jitted super-batch step: (key, frame_start, sigma) ->
+    (errbit, errblock) int32 scalars summed over the batch."""
+    code, dec = preset.code, preset.decoder
+    N, K = code.N, code.K
+    num_info = code.num_info
+    I = jnp.asarray(info_set(N, num_info))
+    frozen = jnp.asarray(frozen_mask(N, num_info))
+    pn = jnp.asarray(pn_sequence())
+    crc_R = check_matrix(code.crc, num_info) if code.crc else None
+    shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
+
+    def decode(llr):
+        if dec.kind == "bp":
+            return bp_decode(
+                llr, frozen, iters=dec.bp_iters, flavor=dec.bp_flavor,
+                early_stop_every=(4 if dec.bp_early_stop else 0),
+            )
+        if dec.kind == "sc":
+            return sc_decode(llr, frozen)
+        if dec.kind == "scl":
+            return scl_decode(llr, frozen, list_size=dec.list_size)
+        if dec.kind == "cascl":
+            return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
+                                list_size=dec.list_size)
+        raise ValueError(f"unknown decoder kind {dec.kind!r}")
+
+    @jax.jit
+    def step(key, frame_start, sigma):
+        fidx = frame_start + jnp.arange(batch, dtype=jnp.int32)
+        if shard is not None:
+            fidx = lax.with_sharding_constraint(fidx, shard)
+        payload = payload_from_index(fidx, pn, K)
+        if code.crc is None:
+            w = payload
+        elif code.crc_style == "systematic":
+            w = crc_encode_systematic(payload, code.crc)
+        else:
+            w = crc_encode_multiplicative(payload, code.crc)
+        u = scatter_info(w, I, N)
+        x = polar_encode(u)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
+        llr = awgn_llr(x, keys, sigma)
+        u_hat = decode(llr)
+        bad = u_hat[:, I] != w
+        errbit = jnp.sum(bad, dtype=jnp.int32)
+        errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
+        return errbit, errblock
+
+    return step
+
+
+def make_bpr_step(preset: Preset, batch: int, mesh=None) -> Callable:
+    """BPr instrumentation step (ref: BPr_128.c): like make_frame_step but also
+    accumulates the per-checkpoint per-stage info-bit error table E
+    (shape [num_checkpoints, n+1], summed over frames; the reference reports
+    E / run, BPr_128.c:229-255)."""
+    from polardecoding_tpu.models.bp import bpr_decode
+
+    code, dec = preset.code, preset.decoder
+    N, K = code.N, code.K
+    I = jnp.asarray(info_set(N, K))
+    frozen = jnp.asarray(frozen_mask(N, K))
+    pn = jnp.asarray(pn_sequence())
+    shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
+
+    @jax.jit
+    def step(key, frame_start, sigma):
+        fidx = frame_start + jnp.arange(batch, dtype=jnp.int32)
+        if shard is not None:
+            fidx = lax.with_sharding_constraint(fidx, shard)
+        payload = payload_from_index(fidx, pn, K)
+        u = scatter_info(payload, I, N)
+        x = polar_encode(u)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
+        llr = awgn_llr(x, keys, sigma)
+        u_hat, stage_errs = bpr_decode(
+            llr, frozen, u, I, iters=dec.bp_iters, flavor=dec.bp_flavor,
+            checkpoints=dec.bpr_checkpoints,
+        )
+        bad = u_hat[:, I] != payload
+        errbit = jnp.sum(bad, dtype=jnp.int32)
+        errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
+        return errbit, errblock, stage_errs
+
+    return step
+
+
+def run_bpr_point(
+    preset: Preset,
+    snr_db: float,
+    batch: int = 256,
+    mesh=None,
+    error_blocks: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    seed: Optional[int] = None,
+):
+    """Run BPr at one SNR point.  Returns (PointResult, E [checkpoints, n+1])
+    with E summed over frames (divide by frames for the reference's table)."""
+    sweep = preset.sweep
+    seed = sweep.seed if seed is None else seed
+    target = sweep.error_blocks if error_blocks is None else error_blocks
+    cap = sweep.max_frames if max_frames is None else max_frames
+    step_fn = make_bpr_step(preset, batch, mesh)
+    sigma = float(10.0 ** (-snr_db / 20.0))
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
+    res = PointResult(preset.name, snr_db, 0, 0, 0, seed)
+    E = None
+    t0 = time.perf_counter()
+    while res.errblock < target and res.frames < cap:
+        eb, ebl, se = step_fn(key, jnp.int32(res.frames), sigma)
+        res.errbit += int(eb)
+        res.errblock += int(ebl)
+        res.frames += batch
+        E = np.asarray(se, dtype=np.int64) if E is None else E + np.asarray(se)
+    res.elapsed_s = time.perf_counter() - t0
+    return res, E
+
+
+def run_point(
+    preset: Preset,
+    snr_db: float,
+    batch: Optional[int] = None,
+    mesh=None,
+    step_fn: Optional[Callable] = None,
+    error_blocks: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    seed: Optional[int] = None,
+    start_state: Optional[PointResult] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> PointResult:
+    """Adaptive-length MC for one SNR point: run super-batches until the
+    error-block target (ref stop rule, e.g. BP_128.c:168)."""
+    sweep = preset.sweep
+    seed = sweep.seed if seed is None else seed
+    target = sweep.error_blocks if error_blocks is None else error_blocks
+    cap = sweep.max_frames if max_frames is None else max_frames
+    if mesh is None:
+        mesh = data_mesh()
+    if batch is None:
+        batch = round_up_batch(sweep.batch_per_device * mesh.devices.size, mesh)
+    if step_fn is None:
+        step_fn = make_frame_step(preset, batch, mesh)
+
+    sigma = float(10.0 ** (-snr_db / 20.0))
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
+    res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
+    t0 = time.perf_counter()
+    while res.errblock < target and res.frames < cap:
+        eb, ebl = step_fn(key, jnp.int32(res.frames), sigma)
+        res.errbit += int(eb)
+        res.errblock += int(ebl)
+        res.frames += batch
+        if log:
+            log(
+                f"{preset.name} @ {snr_db:.2f} dB: frames={res.frames} "
+                f"errblock={res.errblock} bler={res.bler:.3e}"
+            )
+    res.elapsed_s += time.perf_counter() - t0
+    return res
+
+
+def run_sweep(
+    preset: Preset,
+    batch: Optional[int] = None,
+    mesh=None,
+    snr_points=None,
+    error_blocks: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    seed: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> list[PointResult]:
+    """Full SNR sweep with optional JSON checkpointing (rerunnable shards:
+    SURVEY §5 failure-detection note — counters checkpointed per point)."""
+    if mesh is None:
+        mesh = data_mesh()
+    if batch is None:
+        batch = round_up_batch(preset.sweep.batch_per_device * mesh.devices.size, mesh)
+    step_fn = make_frame_step(preset, batch, mesh)
+    points = preset.sweep.snr_points() if snr_points is None else list(snr_points)
+
+    done: dict[float, PointResult] = {}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            for rec in json.load(f):
+                done[rec["snr_db"]] = PointResult(
+                    rec["preset"], rec["snr_db"], rec["errbit"], rec["errblock"],
+                    rec["frames"], rec["seed"], rec.get("elapsed_s", 0.0),
+                )
+
+    results = []
+    for snr in points:
+        res = run_point(
+            preset, snr, batch=batch, mesh=mesh, step_fn=step_fn,
+            error_blocks=error_blocks, max_frames=max_frames, seed=seed,
+            start_state=done.get(snr), log=log,
+        )
+        results.append(res)
+        if checkpoint_path:
+            with open(checkpoint_path, "w") as f:
+                json.dump(
+                    [r.to_json(preset.code.num_info) for r in results], f, indent=1
+                )
+        if log:
+            log(
+                f"DONE {preset.name} @ {snr:.2f} dB: BLER={res.bler:.4e} "
+                f"({res.errblock}/{res.frames})"
+            )
+    return results

@@ -1,0 +1,75 @@
+"""Monte-Carlo harness: determinism, sharding invariance, adaptive stop."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from polardecoding_tpu.configs import preset
+from polardecoding_tpu.parallel.harness import make_frame_step, run_point, run_sweep
+from polardecoding_tpu.parallel.mesh import data_mesh
+
+
+def test_step_counters_independent_of_batch_size():
+    """Frames are pure functions of (seed, index): two super-batches of 16 must
+    equal one super-batch of 32."""
+    p = preset("SC_128")
+    key = jax.random.PRNGKey(7)
+    sigma = 10.0 ** (-2.0 / 20.0)
+    s32 = make_frame_step(p, 32)
+    s16 = make_frame_step(p, 16)
+    eb_a, ebl_a = s32(key, 0, sigma)
+    eb_b = int(s16(key, 0, sigma)[0]) + int(s16(key, 16, sigma)[0])
+    ebl_b = int(s16(key, 0, sigma)[1]) + int(s16(key, 16, sigma)[1])
+    assert int(eb_a) == eb_b
+    assert int(ebl_a) == ebl_b
+
+
+def test_step_sharding_invariance():
+    """Same counters on a 1-device and an 8-device mesh (SURVEY §4 determinism
+    tests replacing race detection)."""
+    p = preset("BP_128")
+    key = jax.random.PRNGKey(3)
+    sigma = 10.0 ** (-2.5 / 20.0)
+    mesh8 = data_mesh(jax.devices()[:8])
+    mesh1 = data_mesh(jax.devices()[:1])
+    s8 = make_frame_step(p, 32, mesh8)
+    s1 = make_frame_step(p, 32, mesh1)
+    a = [int(v) for v in s8(key, 0, sigma)]
+    b = [int(v) for v in s1(key, 0, sigma)]
+    assert a == b
+
+
+def test_run_point_stops_on_error_target(tmp_path):
+    p = preset("SC_128")
+    res = run_point(p, 1.0, batch=64, error_blocks=10, max_frames=512)
+    assert res.errblock >= 10 or res.frames >= 512
+    assert res.frames % 64 == 0
+    assert 0.0 <= res.bler <= 1.0
+    # at 1 dB the SC BLER is ~0.4 (BASELINE.md): with 64+ frames we should
+    # have hit the 10-error target well before the frame cap
+    assert res.errblock >= 10
+
+
+def test_run_sweep_checkpoint_resume(tmp_path):
+    p = preset("SC_128")
+    ck = str(tmp_path / "ck.json")
+    r1 = run_sweep(p, batch=64, snr_points=[1.0], error_blocks=5,
+                   max_frames=256, checkpoint_path=ck)
+    with open(ck) as f:
+        recs = json.load(f)
+    assert len(recs) == 1 and recs[0]["snr_db"] == 1.0
+    # resume: point already complete -> no extra frames
+    r2 = run_sweep(p, batch=64, snr_points=[1.0], error_blocks=5,
+                   max_frames=256, checkpoint_path=ck)
+    assert r2[0].frames == r1[0].frames
+    assert r2[0].errblock == r1[0].errblock
+
+
+def test_cascl_step_compiles_and_counts():
+    p = preset("CASCL_128_L8")
+    key = jax.random.PRNGKey(5)
+    step = make_frame_step(p, 16)
+    eb, ebl = step(key, 0, 10.0 ** (-1.0 / 20.0))
+    assert 0 <= int(ebl) <= 16
+    assert int(eb) >= int(ebl)

@@ -1,0 +1,30 @@
+"""Pallas kernels vs the jnp engines (interpreter mode on the CPU mesh)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polardecoding_tpu.models.bp import bp_decode
+from polardecoding_tpu.ops.pallas.bp_kernel import bp_decode_pallas
+from polardecoding_tpu.utils.sequences import frozen_mask
+
+
+@pytest.mark.parametrize("N,K,iters", [(32, 16, 8), (128, 64, 5)])
+def test_bp_pallas_matches_jnp(N, K, iters):
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(N)
+    llr = jnp.asarray(rng.normal(size=(16, N)).astype(np.float32) * 3)
+    a = np.asarray(bp_decode(llr, fr, iters=iters))
+    b = np.asarray(bp_decode_pallas(llr, fr, iters=iters, tile=8, interpret=True))
+    assert (a == b).all()
+
+
+def test_bp_pallas_spa_flavor():
+    N, K = 32, 16
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(5)
+    llr = jnp.asarray(rng.normal(size=(8, N)).astype(np.float32) * 3)
+    a = np.asarray(bp_decode(llr, fr, iters=6, flavor="spa"))
+    b = np.asarray(
+        bp_decode_pallas(llr, fr, iters=6, flavor="spa", tile=8, interpret=True)
+    )
+    assert (a == b).all()
