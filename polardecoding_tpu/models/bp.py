@@ -152,6 +152,22 @@ def bp_decode(
     return u_hat
 
 
+def bp_decode_auto(ch_llr, frozen, iters=100, flavor="minsum_lut",
+                   early_stop_every=0):
+    """Dispatch to the Pallas VMEM-resident kernel on TPU backends (2-3x the
+    fused-jnp path at N=1024; see ops/pallas/bp_kernel.py), falling back to
+    the jnp engine elsewhere or when early stopping is requested."""
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu", "gpu")
+    B = ch_llr.shape[0]
+    if on_tpu and not early_stop_every and B % 8 == 0:
+        from polardecoding_tpu.ops.pallas.bp_kernel import bp_decode_pallas
+
+        return bp_decode_pallas(ch_llr, frozen, iters=iters, flavor=flavor)
+    return bp_decode(ch_llr, frozen, iters=iters, flavor=flavor,
+                     early_stop_every=early_stop_every)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "flavor", "checkpoints"))
 def bpr_decode(
     ch_llr,

@@ -26,27 +26,30 @@ LUT_VALUES = (0.65, 0.55, 0.45, 0.35, 0.25, 0.15, 0.05, 0.0)
 def lut_correction(x):
     """delta(x) for x >= 0: piecewise-constant ln(1+e^-x) approximation.
 
-    Evaluated as 0.65 - sum of fixed step-downs at each threshold — branchless
-    and exactly equivalent to the reference's if/else ladder, including the
-    strict `<` bin edges (a value exactly at a threshold falls in the upper bin).
+    Branchless nested selects carrying the table's LITERAL values (not
+    cumulative differences), so the result is bit-identical to the reference's
+    if/else ladder in any precision, including the strict `<` bin edges (a
+    value exactly at a threshold falls in the upper bin).
     """
     dt = x.dtype
-    out = jnp.full(x.shape, LUT_VALUES[0], dtype=dt)
-    for t, (hi, lo) in zip(LUT_THRESHOLDS, zip(LUT_VALUES[:-1], LUT_VALUES[1:])):
-        out = out - jnp.where(x >= t, jnp.asarray(hi - lo, dt), jnp.asarray(0, dt))
-    return out
+    out = jnp.asarray(LUT_VALUES[-1], dt)
+    for t, v in zip(reversed(LUT_THRESHOLDS), reversed(LUT_VALUES[:-1])):
+        out = jnp.where(x >= t, out, jnp.asarray(v, dt))
+    return jnp.broadcast_to(out, x.shape)
 
 
 def chk(a, b):
     """Table-corrected min-sum box-plus (ref CHK, SC_128.c:283-315):
 
-        sign(a) sign(b) min(|a|, |b|) + delta(|a+b|) - delta(|a-b|)
+        sign(a) sign(b) min(|a|, |b|) + (delta(|a+b|) - delta(|a-b|))
 
-    with sign(0) treated as +1, matching the reference's `(L >= 0) ? 1 : -1`.
-    """
+    with sign(0) treated as +1, matching the reference's `(L >= 0) ? 1 : -1`,
+    and the delta difference formed first (the reference's association) so a
+    float64 run is bit-identical to the C."""
     s = jnp.where((a >= 0) == (b >= 0), 1.0, -1.0).astype(a.dtype)
     m = jnp.minimum(jnp.abs(a), jnp.abs(b))
-    return s * m + lut_correction(jnp.abs(a + b)) - lut_correction(jnp.abs(a - b))
+    delta = lut_correction(jnp.abs(a + b)) - lut_correction(jnp.abs(a - b))
+    return s * m + delta
 
 
 def chk_exact(a, b):

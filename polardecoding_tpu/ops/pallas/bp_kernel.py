@@ -7,16 +7,26 @@ through HBM every stage of every iteration (~2 n x 100 array passes).  Here a
 tile of TB frames keeps its entire message state [n+1, TB, N] in VMEM scratch
 for all iterations: HBM traffic collapses to one [TB, N] read (channel LLRs)
 plus one [TB, N] write (decisions) per frame — the speed-of-light minimum —
-and every CHK runs on the VPU over [TB, N/2] register tiles.
+and every CHK runs on the VPU over [TB, N] register tiles.
 
-Semantics identical to models/bp.bp_decode (ref: BP_128.c:334-389):
-Gauss-Seidel R-sweep then L-sweep per iteration, table-corrected min-sum CHK
-(or exact SPA), frozen R = 999, decision sign(L0 + R0).
+Butterfly exchange without reshapes: Mosaic cannot lower the [TB, G, 2, d]
+strided reshape views the jnp engine uses, so the stage-i partner exchange is
+expressed elementwise with lane rotations:
 
-Grid: one program per frame tile; batch must be a multiple of the tile.
-Stage-i butterfly halves are reshape views at stride 2^i; for 2^i < 128 these
-are intra-lane selects Mosaic lowers to register shuffles, for >= 128 they are
-lane-slab moves.
+    P(x) = where(upper_lane, roll(x, -d), roll(x, +d))      (partner swap)
+    S    = L[i+1] + R[i]                                     (var-node sums)
+    E    = CHK(R[i], L[i+1])                                 (shared check)
+    R'[i+1] = where(upper, CHK(R[i],   P(S)), R[i]   + P(E))
+    L'[i]   = where(upper, CHK(L[i+1], P(S)), L[i+1] + P(E))
+
+which is algebraically identical to the reference's four butterfly equations
+(BP_128.c:357-377): at an upper lane u, P(S)[u] = L[i+1][u+d] + R[i][u+d];
+at a lower lane l, P(E)[l] = CHK(R[i][l-d], L[i+1][l-d]).  The cyclic roll
+wrap-around only lands on lanes masked out by the select.
+
+Semantics identical to models/bp.bp_decode: Gauss-Seidel R-sweep then L-sweep
+per iteration, table-corrected min-sum CHK (or exact SPA), frozen R = 999,
+decision sign(L0 + R0).
 """
 from __future__ import annotations
 
@@ -31,50 +41,50 @@ from jax.experimental.pallas import tpu as pltpu
 from polardecoding_tpu.ops.chk import chk, chk_exact
 
 
-def _halves(x, i):
-    TB, N = x.shape
-    d = 1 << i
-    v = x.reshape(TB, N // (2 * d), 2, d)
-    return v[:, :, 0, :].reshape(TB, N // 2), v[:, :, 1, :].reshape(TB, N // 2)
+def _upper_mask(i, TB, N):
+    """[TB, N] bool: lane's stage-i butterfly role (bit i of lane == 0)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, N), dimension=1)
+    return (lane & (1 << i)) == 0
 
 
-def _merge(up, lo, i, TB, N):
+def _pswap(x, i, up):
+    """Partner exchange at distance d = 2^i along the lane axis."""
     d = 1 << i
-    u = up.reshape(TB, N // (2 * d), 1, d)
-    l = lo.reshape(TB, N // (2 * d), 1, d)
-    return jnp.concatenate([u, l], axis=2).reshape(TB, N)
+    N = x.shape[1]
+    fwd = pltpu.roll(x, N - d, axis=1)  # lane p reads p + d (cyclic)
+    bwd = pltpu.roll(x, d, axis=1)  # lane p reads p - d
+    return jnp.where(up, fwd, bwd)
 
 
 def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn):
-    """Ls, Rs: VMEM scratch [n+1, TB, N].  fr_ref: [1, N] frozen R row."""
-    ch = ch_ref[:]  # [TB, N]
+    """Ls, Rs: VMEM scratch refs, n+1 each of [TB, N].  fr_ref: [1, N]."""
+    ch = ch_ref[:]
     Ls[n][:] = ch
     Rs[0][:] = jnp.broadcast_to(fr_ref[:], (TB, N))
+    zero = jnp.zeros((TB, N), ch.dtype)
     for i in range(n):
-        Ls[i][:] = jnp.zeros((TB, N), ch.dtype)
-        Rs[i + 1][:] = jnp.zeros((TB, N), ch.dtype)
+        Ls[i][:] = zero
+        Rs[i + 1][:] = zero
+
+    ups = [_upper_mask(i, TB, N) for i in range(n)]
 
     def body(_, carry):
         for i in range(n):
-            ru, rd = _halves(Rs[i][:], i)
-            lu, ld = _halves(Ls[i + 1][:], i)
-            new_u = chk_fn(ru, ld + rd)
-            new_d = rd + chk_fn(ru, lu)
-            Rs[i + 1][:] = _merge(new_u, new_d, i, TB, N)
+            R, L = Rs[i][:], Ls[i + 1][:]
+            S = _pswap(L + R, i, ups[i])
+            E = _pswap(chk_fn(R, L), i, ups[i])
+            Rs[i + 1][:] = jnp.where(ups[i], chk_fn(R, S), R + E)
         for i in range(n - 1, -1, -1):
-            ru, rd = _halves(Rs[i][:], i)
-            lu, ld = _halves(Ls[i + 1][:], i)
-            new_u = chk_fn(lu, ld + rd)
-            new_d = ld + chk_fn(ru, lu)
-            Ls[i][:] = _merge(new_u, new_d, i, TB, N)
+            R, L = Rs[i][:], Ls[i + 1][:]
+            S = _pswap(L + R, i, ups[i])
+            E = _pswap(chk_fn(R, L), i, ups[i])
+            Ls[i][:] = jnp.where(ups[i], chk_fn(L, S), L + E)
         return carry
 
     lax.fori_loop(0, iters, body, 0)
     soft = Ls[0][:] + Rs[0][:]
-    frozen = fr_ref[:] > 0.0  # frozen rows carry R = 999
-    u = jnp.where(jnp.broadcast_to(frozen, (TB, N)), jnp.int8(0),
-                  (soft < 0).astype(jnp.int8))
-    out_ref[:] = u
+    frozen = jnp.broadcast_to(fr_ref[:] > 0.0, (TB, N))
+    out_ref[:] = jnp.where(frozen, jnp.int8(0), (soft < 0).astype(jnp.int8))
 
 
 @functools.partial(

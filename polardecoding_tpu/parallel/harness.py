@@ -37,7 +37,7 @@ import numpy as np
 from jax import lax
 
 from polardecoding_tpu.configs import Preset
-from polardecoding_tpu.models.bp import bp_decode
+from polardecoding_tpu.models.bp import bp_decode_auto
 from polardecoding_tpu.models.sc import sc_decode
 from polardecoding_tpu.models.scl import cascl_decode, scl_decode
 from polardecoding_tpu.ops.channel import awgn_llr
@@ -107,7 +107,7 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
 
     def decode(llr):
         if dec.kind == "bp":
-            return bp_decode(
+            return bp_decode_auto(
                 llr, frozen, iters=dec.bp_iters, flavor=dec.bp_flavor,
                 early_stop_every=(4 if dec.bp_early_stop else 0),
             )

@@ -27,8 +27,11 @@ def lutc(x: float) -> float:
 
 
 def chk(a: float, b: float) -> float:
+    # association matches the C exactly: delta computed first, then added
+    # (BP_128.c:273-305: delta = lut(sAbs); delta -= lut(dAbs); s*m + delta)
     s = (1 if a >= 0 else -1) * (1 if b >= 0 else -1)
-    return s * min(abs(a), abs(b)) + lutc(abs(a + b)) - lutc(abs(a - b))
+    delta = lutc(abs(a + b)) - lutc(abs(a - b))
+    return s * min(abs(a), abs(b)) + delta
 
 
 def chk_spa(a: float, b: float) -> float:
