@@ -125,6 +125,19 @@ def cmd_bench(args):
     print(json.dumps({"preset": args.preset, "frames_per_sec": fps}))
 
 
+def cmd_scale(args):
+    from polardecoding_tpu.configs import preset
+    from polardecoding_tpu.parallel.distributed import init_distributed, scaling_bench
+
+    if args.distributed:
+        init_distributed()
+    recs = scaling_bench(
+        preset(args.preset), batch_per_device=args.batch_per_device,
+        snr_db=args.snr_db,
+    )
+    print(json.dumps(recs, indent=1))
+
+
 def cmd_presets(args):
     from polardecoding_tpu.configs import PRESETS
 
@@ -183,6 +196,14 @@ def main(argv=None):
     bp.add_argument("--preset", default="BP_1024")
     bp.add_argument("--batch", type=int, default=4096)
     bp.set_defaults(fn=cmd_bench)
+
+    sc = sub.add_parser("scale", help="scaling-efficiency benchmark over devices")
+    sc.add_argument("--preset", default="BP_1024")
+    sc.add_argument("--batch-per-device", type=int, default=1024)
+    sc.add_argument("--snr-db", type=float, default=2.0)
+    sc.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed from cluster env first")
+    sc.set_defaults(fn=cmd_scale)
 
     ps = sub.add_parser("presets", help="list named presets")
     ps.set_defaults(fn=cmd_presets)

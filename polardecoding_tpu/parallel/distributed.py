@@ -1,0 +1,86 @@
+"""Multi-host runtime + scaling benchmark.
+
+The reference's only scale-out was manual multi-seed replication averaged by
+hand (SURVEY §2.5); here scale-out is a data-parallel mesh over every chip of
+a (possibly multi-host) slice:
+
+  - `init_distributed()` brings up the jax.distributed runtime from the
+    standard env (JAX coordinator address / process id / process count), after
+    which `jax.devices()` is global and the ordinary harness code — batch
+    sharded over 'data', counters summed by XLA collectives over ICI/DCN —
+    runs unchanged in single-controller style.
+  - noise/payloads are pure functions of (seed, global frame index), so the
+    decoded set is IDENTICAL regardless of process count — multi-host runs
+    need no seed bookkeeping and reproduce single-host results bit-for-bit.
+  - `scaling_bench` measures frames/s at increasing device counts; the only
+    cross-device traffic is the scalar psum of two counters per super-batch,
+    so efficiency should be near-linear (>= 85 % target, BASELINE.json).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from polardecoding_tpu.configs import Preset
+from polardecoding_tpu.parallel.harness import make_frame_step
+from polardecoding_tpu.parallel.mesh import data_mesh
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Initialize the multi-host runtime (no-op if single-process).  With no
+    arguments, jax reads the standard cluster env (GKE/GCE metadata or
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
+    if num_processes == 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def scaling_bench(
+    preset: Preset,
+    device_counts: Optional[Sequence[int]] = None,
+    batch_per_device: int = 1024,
+    snr_db: float = 2.0,
+    steps: int = 4,
+    warmup: int = 2,
+):
+    """frames/s at each device count; returns list of dicts with efficiency
+    relative to the single-device rate."""
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devs)]
+    sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
+    key = jax.random.PRNGKey(preset.sweep.seed)
+    out = []
+    base_rate = None
+    for nd in device_counts:
+        mesh = data_mesh(devs[:nd])
+        batch = batch_per_device * nd
+        step = make_frame_step(preset, batch, mesh)
+        for i in range(warmup):
+            r = step(key, jnp.int32(i * batch), sigma)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        rs = [step(key, jnp.int32((warmup + i) * batch), sigma) for i in range(steps)]
+        jax.block_until_ready(rs)
+        rate = steps * batch / (time.perf_counter() - t0)
+        if base_rate is None:
+            base_rate = rate
+        out.append(
+            {
+                "devices": nd,
+                "frames_per_sec": rate,
+                "efficiency": rate / (base_rate * nd),
+            }
+        )
+    return out
