@@ -115,6 +115,46 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
     return jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
 
 
+def _pallas_ok(B: int, N: int) -> bool:
+    """The whole-decode Pallas kernel wins for large N on TPU backends; its
+    lane-dim blocking needs B <= 128 or a multiple of 128 (measured on v5e:
+    N=1024 L=8 3.2k vs 1.5k fps; at N=128 the jnp engine is faster)."""
+    backend = jax.default_backend()
+    return (
+        backend not in ("cpu", "gpu")
+        and N >= 512
+        and (B <= 128 or B % 128 == 0)
+    )
+
+
+def scl_decode_auto(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
+    """Dispatch to the VMEM-resident Pallas SCL kernel where it wins."""
+    B, N = ch_llr.shape
+    if _pallas_ok(B, N):
+        from polardecoding_tpu.ops.pallas.scl_kernel import scl_decode_pallas
+
+        u_all, PM = scl_decode_pallas(ch_llr, frozen, list_size=list_size)
+        if return_all:
+            return u_all, PM
+        best = jnp.argmin(PM, axis=-1)
+        return jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
+    return scl_decode(ch_llr, frozen, list_size=list_size, return_all=return_all)
+
+
+def sc_decode_auto(ch_llr, frozen):
+    """SC via the SCL kernel at L=1 on TPU for large N (1.5x the jnp engine;
+    the L=1 path-metric rule decides by LLR sign, identical to SC)."""
+    B, N = ch_llr.shape
+    if _pallas_ok(B, N):
+        from polardecoding_tpu.ops.pallas.scl_kernel import scl_decode_pallas
+
+        u_all, _ = scl_decode_pallas(ch_llr, frozen, list_size=1)
+        return u_all[:, 0]
+    from polardecoding_tpu.models.sc import sc_decode
+
+    return sc_decode(ch_llr, frozen)
+
+
 def cascl_select(u_all, PM, info_positions, crc_R):
     """CA-SCL final selection (ref: CASCL_128.c:663-698): among CRC-passing
     paths pick min PM; if none pass, global min PM.
@@ -139,6 +179,8 @@ def cascl_select(u_all, PM, info_positions, crc_R):
 
 def cascl_decode(ch_llr, frozen, info_positions, crc_R, list_size: int = 8):
     """CRC-aided SCL: SCL pass + CRC-filtered min-PM selection."""
-    u_all, PM = scl_decode(ch_llr, frozen, list_size=list_size, return_all=True)
+    u_all, PM = scl_decode_auto(
+        ch_llr, frozen, list_size=list_size, return_all=True
+    )
     u_hat, _ = cascl_select(u_all, PM, info_positions, crc_R)
     return u_hat

@@ -38,8 +38,7 @@ from jax import lax
 
 from polardecoding_tpu.configs import Preset
 from polardecoding_tpu.models.bp import bp_decode_auto
-from polardecoding_tpu.models.sc import sc_decode
-from polardecoding_tpu.models.scl import cascl_decode, scl_decode
+from polardecoding_tpu.models.scl import cascl_decode, sc_decode_auto, scl_decode_auto
 from polardecoding_tpu.ops.channel import awgn_llr
 from polardecoding_tpu.ops.crc import check_matrix, crc_encode_multiplicative, crc_encode_systematic
 from polardecoding_tpu.ops.encode import polar_encode, scatter_info
@@ -112,9 +111,9 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
                 early_stop_every=(4 if dec.bp_early_stop else 0),
             )
         if dec.kind == "sc":
-            return sc_decode(llr, frozen)
+            return sc_decode_auto(llr, frozen)
         if dec.kind == "scl":
-            return scl_decode(llr, frozen, list_size=dec.list_size)
+            return scl_decode_auto(llr, frozen, list_size=dec.list_size)
         if dec.kind == "cascl":
             return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
                                 list_size=dec.list_size)
