@@ -194,11 +194,15 @@ def _chk_lut(a, b):
     )
 
 
-def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32):
+def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32,
+            num_iters=None):
     """Stage-projected info-bit BER via CHK-combining of W = l + r over the
     M-matrix column supports, skipping frozen factors
-    (BPRGA_128_W.c:351-448).  Window floor(iter_max - 6 snr); E rows reported
-    for every iteration index > 1 (1-based > 2).  Returns {iter: E[0..n]}."""
+    (BPRGA_128_W.c:351-448).  Default window floor(iter_max - 6 snr)
+    (BPRGA_128_W.c:375-376); the N=1024 variant uses floor(iter_max / snr)
+    (BPRGA_1024_W.c:414-415) — pass num_iters=int(40 / snr_db) for that
+    preset.  E rows reported for every iteration index > 1 (1-based > 2).
+    Returns {iter: E[0..n]}."""
     n = N.bit_length() - 1
     sigma = 10.0 ** (-snr_db / 20.0)
     L, R, _ = _init_messages(N, n, K, sigma, FROZEN_R_W)
@@ -206,7 +210,9 @@ def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32):
     supports = stage_projection_supports(N)
     fmasks = frozen_stage_masks(N, K)
     out = {}
-    for it in range(int(iter_max - 6 * snr_db)):
+    if num_iters is None:
+        num_iters = int(iter_max - 6 * snr_db)
+    for it in range(num_iters):
         L, R = ga_iteration(L, R, n, N)
         if it > 1:
             E = np.zeros(n + 1)

@@ -71,7 +71,10 @@ def cmd_analyze(args):
             rows = dega.bprga_allbit(args.N, args.K, snr, args.iters or 30)
             out[snr] = {str(it): list(np.round(E, 6)) for it, E in rows.items()}
         elif args.tool == "bprga_w":
-            rows = dega.bprga_w(args.N, args.K, snr, args.iters or 32)
+            # N=1024 uses the BPRGA_1024_W.c window iterMax/snr
+            ni = int((args.iters or 40) / snr) if args.N >= 1024 else None
+            rows = dega.bprga_w(args.N, args.K, snr, args.iters or 32,
+                                num_iters=ni)
             out[snr] = {str(it): list(np.round(E, 6)) for it, E in rows.items()}
         elif args.tool == "bprga_m":
             rows = dega.bprga_m(args.N, args.K, snr, args.iters or 32)
