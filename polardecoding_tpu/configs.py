@@ -147,6 +147,13 @@ PRESETS = {
             "BP_128_fag.c",
         ),
         _p(
+            "BP_1024_ES",
+            CodeConfig(1024, 512),
+            DecoderConfig("bp", bp_iters=100, bp_early_stop=True),
+            SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
+            "BP_1024.c + G-matrix early stopping (extension; 2-3x at high SNR)",
+        ),
+        _p(
             "BPr_128",
             CodeConfig(128, 64),
             DecoderConfig("bpr", bp_iters=90),

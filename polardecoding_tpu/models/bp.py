@@ -24,10 +24,11 @@ tests against a direct simulator of each wiring).
 
 Extension beyond the reference: optional early stopping.  The reference always
 runs iterMax=100 fixed sweeps; with `early_stop_every > 0` we periodically
-re-encode the current hard decision and compare against the sign of the channel
-LLR, exiting the while_loop once every frame in the batch satisfies x(u_hat)
-== hard(L_ch) (a standard G-matrix stopping rule) — sanctioned by BASELINE.json
-("BP ... with R/L message arrays and early-stopping").
+re-encode the current hard decision and compare against the POSTERIOR hard
+decision at the channel stage, sign(L[n] + R[n]), exiting the while_loop once
+every frame in the batch satisfies x(u_hat) == that word (a G-matrix stopping
+rule) — sanctioned by BASELINE.json ("BP ... with R/L message arrays and
+early-stopping").
 """
 from __future__ import annotations
 
@@ -128,7 +129,9 @@ def bp_decode(
             check_now = (it + 1) % early_stop_every == 0
             u_hat = jnp.where(frozen, 0, (Larr[..., 0, :] + Rarr[..., 0, :] < 0))
             x_hat = polar_encode(u_hat.astype(jnp.int8))
-            ch_hard = (Larr[..., n, :] < 0).astype(jnp.int8)
+            # posterior channel-stage hard decision sign(L[n] + R[n]) — NOT
+            # the raw channel sign, which carries the channel's own bit errors
+            ch_hard = (Larr[..., n, :] + Rarr[..., n, :] < 0).astype(jnp.int8)
             done = jnp.all(x_hat == ch_hard, axis=-1)
             all_done = check_now & jnp.all(done)
         else:
@@ -156,14 +159,15 @@ def bp_decode_auto(ch_llr, frozen, iters=100, flavor="minsum_lut",
                    early_stop_every=0):
     """Dispatch to the Pallas VMEM-resident kernel on TPU backends (2-3x the
     fused-jnp path at N=1024; see ops/pallas/bp_kernel.py), falling back to
-    the jnp engine elsewhere or when early stopping is requested."""
+    the jnp engine elsewhere."""
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu", "gpu")
     B = ch_llr.shape[0]
-    if on_tpu and not early_stop_every and B % 8 == 0:
+    if on_tpu and B % 8 == 0:
         from polardecoding_tpu.ops.pallas.bp_kernel import bp_decode_pallas
 
-        return bp_decode_pallas(ch_llr, frozen, iters=iters, flavor=flavor)
+        return bp_decode_pallas(ch_llr, frozen, iters=iters, flavor=flavor,
+                                early_stop=bool(early_stop_every))
     return bp_decode(ch_llr, frozen, iters=iters, flavor=flavor,
                      early_stop_every=early_stop_every)
 

@@ -56,7 +56,8 @@ def _pswap(x, i, up):
     return jnp.where(up, fwd, bwd)
 
 
-def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn):
+def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
+               early_stop):
     """Ls, Rs: VMEM scratch refs, n+1 each of [TB, N].  fr_ref: [1, N]."""
     ch = ch_ref[:]
     Ls[n][:] = ch
@@ -67,8 +68,9 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn):
         Rs[i + 1][:] = zero
 
     ups = [_upper_mask(i, TB, N) for i in range(n)]
+    frozen = jnp.broadcast_to(fr_ref[:] > 0.0, (TB, N))
 
-    def body(_, carry):
+    def one_iteration():
         for i in range(n):
             R, L = Rs[i][:], Ls[i + 1][:]
             S = _pswap(L + R, i, ups[i])
@@ -79,16 +81,45 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn):
             S = _pswap(L + R, i, ups[i])
             E = _pswap(chk_fn(R, L), i, ups[i])
             Ls[i][:] = jnp.where(ups[i], chk_fn(L, S), L + E)
-        return carry
 
-    lax.fori_loop(0, iters, body, 0)
+    if early_stop:
+        # G-matrix stopping rule (extension — the reference always runs
+        # iterMax sweeps): exit once, for every frame in the tile, the
+        # re-encoded decision word equals the POSTERIOR hard decision at the
+        # channel stage, sign(L[n] + R[n]) — i.e. the decoder has settled on
+        # a codeword consistent with its own channel-side beliefs.
+        def wcond(c):
+            it, done = c
+            return jnp.logical_and(it < iters, jnp.logical_not(done))
+
+        def wbody(c):
+            it, _ = c
+            one_iteration()
+            u = jnp.where(frozen, 0.0,
+                          (Ls[0][:] + Rs[0][:] < 0).astype(ch.dtype))
+            x = u
+            for i in range(n):
+                x = jnp.where(ups[i], _fxor01(x, _pswap(x, i, ups[i])), x)
+            post_hard = (ch + Rs[n][:]) < 0.0
+            done = jnp.all((x > 0.5) == post_hard)
+            return it + 1, done
+
+        lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.bool_(False)))
+    else:
+        lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
+
     soft = Ls[0][:] + Rs[0][:]
-    frozen = jnp.broadcast_to(fr_ref[:] > 0.0, (TB, N))
     out_ref[:] = jnp.where(frozen, jnp.int8(0), (soft < 0).astype(jnp.int8))
 
 
+def _fxor01(a, b):
+    """xor of 0/1 floats."""
+    return jnp.abs(a - b)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret")
+    jax.jit,
+    static_argnames=("iters", "flavor", "tile", "interpret", "early_stop"),
 )
 def bp_decode_pallas(
     ch_llr,
@@ -97,6 +128,7 @@ def bp_decode_pallas(
     flavor: str = "minsum_lut",
     tile: int = 0,
     interpret: bool = False,
+    early_stop: bool = False,
 ):
     """Pallas BP decode.  ch_llr: [B, N] f32; frozen: [N] bool.
     Returns u_hat [B, N] int8.  B must be a multiple of the tile (default:
@@ -118,7 +150,8 @@ def bp_decode_pallas(
     fr_row = jnp.where(frozen, jnp.asarray(999.0, ch_llr.dtype), 0.0)[None, :]
 
     kernel = functools.partial(
-        _bp_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn
+        _bp_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn,
+        early_stop=early_stop,
     )
     scratch = [pltpu.VMEM((tile, N), ch_llr.dtype) for _ in range(2 * (n + 1))]
 
