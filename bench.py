@@ -23,7 +23,8 @@ from polardecoding_tpu.parallel.mesh import data_mesh
 BASELINE_FRAMES_PER_SEC = 1e7
 
 
-def bench(preset_name="BP_1024", batch=4096, snr_db=2.0, iters=5, warmup=2):
+def bench(preset_name="BP_1024", batch=4096, snr_db=2.0, iters=5, warmup=2,
+          profile_dir=None):
     p = preset(preset_name)
     mesh = data_mesh()
     step = make_frame_step(p, batch=batch, mesh=mesh)
@@ -34,17 +35,32 @@ def bench(preset_name="BP_1024", batch=4096, snr_db=2.0, iters=5, warmup=2):
         eb, ebl = step(key, jnp.int32(i * batch), sigma)
     jax.block_until_ready((eb, ebl))
 
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(step(key, jnp.int32((warmup + i) * batch), sigma))
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    if profile_dir:
+        # jax.profiler traces replace the reference's "no tracing at all"
+        # (SURVEY §5): per-kernel timelines viewable in tensorboard/xprof
+        ctx = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(iters):
+            outs.append(step(key, jnp.int32((warmup + i) * batch), sigma))
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
     return (iters * batch) / dt
 
 
 if __name__ == "__main__":
-    fps = bench()
+    import sys
+
+    prof = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        prof = sys.argv[i + 1] if len(sys.argv) > i + 1 else "/tmp/pd_trace"
+    fps = bench(profile_dir=prof)
     print(
         json.dumps(
             {

@@ -161,6 +161,18 @@ PRESETS = {
             "BPr_128.c",
         ),
         # --- SCL family --------------------------------------------------
+        # the reference sweeps L in {2, 4, 8, 16, 32} for both N
+        # (plot_SCL.py:9-27, SCL_1024.py:8-36); L=8 is the program default
+        *[
+            _p(
+                f"SCL_128_L{l}",
+                CodeConfig(128, 64),
+                DecoderConfig("scl", list_size=l),
+                SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
+                "SCL_128.c (L sweep in plot_SCL.py)",
+            )
+            for l in (2, 4, 16, 32)
+        ],
         _p(
             "SCL_128_L8",
             CodeConfig(128, 64),
@@ -168,6 +180,16 @@ PRESETS = {
             SweepConfig(1.0, 2.5, error_blocks=50, seed=1024),
             "SCL_128.c",
         ),
+        *[
+            _p(
+                f"SCL_1024_L{l}",
+                CodeConfig(1024, 512),
+                DecoderConfig("scl", list_size=l),
+                SweepConfig(1.0, 3.0, error_blocks=50, seed=1024),
+                "SCL_1024.c (L sweep in SCL_1024.py)",
+            )
+            for l in (2, 4, 16, 32)
+        ],
         _p(
             "SCL_1024_L8",
             CodeConfig(1024, 512),

@@ -115,22 +115,25 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
     return jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
 
 
-def _pallas_ok(B: int, N: int) -> bool:
+def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
     """The whole-decode Pallas kernel wins for large N on TPU backends; its
     lane-dim blocking needs B <= 128 or a multiple of 128 (measured on v5e:
-    N=1024 L=8 3.2k vs 1.5k fps; at N=128 the jnp engine is faster)."""
+    N=1024 L=8 3.2k vs 1.5k fps; at N=128 the jnp engine is faster).  Per-path
+    state must fit the 16 MB scoped-vmem budget: 2 state arrays x L paths x
+    [N, 128] f32 + chunk buffers, so L*N is capped."""
     backend = jax.default_backend()
     return (
         backend not in ("cpu", "gpu")
         and N >= 512
         and (B <= 128 or B % 128 == 0)
+        and L * N <= 8192
     )
 
 
 def scl_decode_auto(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
     """Dispatch to the VMEM-resident Pallas SCL kernel where it wins."""
     B, N = ch_llr.shape
-    if _pallas_ok(B, N):
+    if _pallas_ok(B, N, list_size):
         from polardecoding_tpu.ops.pallas.scl_kernel import scl_decode_pallas
 
         u_all, PM = scl_decode_pallas(ch_llr, frozen, list_size=list_size)
