@@ -31,21 +31,35 @@ def _snr_list(args):
 
 def cmd_run(args):
     from polardecoding_tpu.configs import preset
-    from polardecoding_tpu.parallel.harness import run_sweep
+    from polardecoding_tpu.parallel.harness import run_multiseed, run_sweep
 
     p = preset(args.preset)
     log = (lambda m: print(m, file=sys.stderr)) if args.verbose else None
-    results = run_sweep(
-        p,
-        batch=args.batch,
-        snr_points=_snr_list(args),
-        error_blocks=args.error_blocks,
-        max_frames=args.max_frames,
-        seed=args.seed,
-        checkpoint_path=args.checkpoint,
-        log=log,
-    )
-    recs = [r.to_json(p.code.num_info) for r in results]
+    if args.seeds:
+        per_seed, averaged = run_multiseed(
+            p, args.seeds, snr_points=_snr_list(args), batch=args.batch,
+            error_blocks=args.error_blocks, max_frames=args.max_frames,
+            log=log,
+        )
+        recs = {
+            "averaged": averaged,
+            "per_seed": {
+                str(s): [r.to_json(p.code.num_info) for r in rs]
+                for s, rs in per_seed.items()
+            },
+        }
+    else:
+        results = run_sweep(
+            p,
+            batch=args.batch,
+            snr_points=_snr_list(args),
+            error_blocks=args.error_blocks,
+            max_frames=args.max_frames,
+            seed=args.seed,
+            checkpoint_path=args.checkpoint,
+            log=log,
+        )
+        recs = [r.to_json(p.code.num_info) for r in results]
     text = json.dumps(recs, indent=1)
     if args.out:
         with open(args.out, "w") as f:
@@ -166,6 +180,9 @@ def main(argv=None):
     rp.add_argument("--error-blocks", type=int, default=None)
     rp.add_argument("--max-frames", type=int, default=None)
     rp.add_argument("--seed", type=int, default=None)
+    rp.add_argument("--seeds", type=int, nargs="+", default=None,
+                    help="multi-seed replication (reference methodology): "
+                         "run each seed, report per-seed + pooled average")
     rp.add_argument("--checkpoint", default=None)
     rp.add_argument("--out", default=None)
     rp.add_argument("-v", "--verbose", action="store_true")

@@ -27,11 +27,16 @@ def bpsk(x):
 def awgn_llr(x, frame_keys, sigma, dtype=jnp.float32):
     """Modulate, add noise, return channel LLRs 2y/sigma^2.
 
-    x: [B, N] bits; frame_keys: [B] jax PRNG keys (one per frame); sigma scalar.
+    x: [B, N] bits; frame_keys: [B] jax PRNG keys (one per frame); sigma is a
+    scalar or a per-frame [B] vector — the latter folds an SNR sweep into the
+    batch dimension (SURVEY §2.5 "SNR-sweep parallelism").
     """
     noise = jax.vmap(lambda k, shape=x.shape[1:]: jax.random.normal(k, shape, dtype))(
         frame_keys
     )
+    sigma = jnp.asarray(sigma, dtype)
+    if sigma.ndim == 1:
+        sigma = sigma[:, None]
     y = bpsk(x).astype(dtype) + sigma * noise
     return 2.0 * y / (sigma * sigma)
 

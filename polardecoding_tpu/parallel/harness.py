@@ -144,6 +144,102 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
     return step
 
 
+def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None):
+    """Fold the SNR sweep into the batch (SURVEY §2.5 "SNR-sweep
+    parallelism"): frame i runs at sigma[i % num_snr]; counters come back
+    per SNR point.  One compiled step serves the whole sweep — useful for
+    deep sweeps with a fixed frame budget, where per-point adaptive stopping
+    would leave the chip underutilized on the easy points."""
+    code, dec = preset.code, preset.decoder
+    N, K = code.N, code.K
+    num_info = code.num_info
+    I = jnp.asarray(info_set(N, num_info))
+    frozen = jnp.asarray(frozen_mask(N, num_info))
+    pn = jnp.asarray(pn_sequence())
+    crc_R = check_matrix(code.crc, num_info) if code.crc else None
+    shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
+
+    def decode(llr):
+        if dec.kind == "bp":
+            return bp_decode_auto(
+                llr, frozen, iters=dec.bp_iters, flavor=dec.bp_flavor,
+                early_stop_every=(4 if dec.bp_early_stop else 0),
+            )
+        if dec.kind == "sc":
+            return sc_decode_auto(llr, frozen)
+        if dec.kind == "scl":
+            return scl_decode_auto(llr, frozen, list_size=dec.list_size)
+        if dec.kind == "cascl":
+            return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
+                                list_size=dec.list_size)
+        raise ValueError(f"unknown decoder kind {dec.kind!r}")
+
+    @jax.jit
+    def step(key, frame_start, sigmas):
+        fidx = frame_start + jnp.arange(batch, dtype=jnp.int32)
+        if shard is not None:
+            fidx = lax.with_sharding_constraint(fidx, shard)
+        snr_idx = fidx % num_snr
+        payload = payload_from_index(fidx, pn, K)
+        if code.crc is None:
+            w = payload
+        elif code.crc_style == "systematic":
+            w = crc_encode_systematic(payload, code.crc)
+        else:
+            w = crc_encode_multiplicative(payload, code.crc)
+        u = scatter_info(w, I, N)
+        x = polar_encode(u)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
+        llr = awgn_llr(x, keys, sigmas[snr_idx])
+        u_hat = decode(llr)
+        bad = u_hat[:, I] != w
+        errbit = jax.ops.segment_sum(
+            jnp.sum(bad, axis=-1, dtype=jnp.int32), snr_idx, num_snr
+        )
+        errblock = jax.ops.segment_sum(
+            jnp.any(bad, axis=-1).astype(jnp.int32), snr_idx, num_snr
+        )
+        frames = jax.ops.segment_sum(
+            jnp.ones_like(snr_idx), snr_idx, num_snr
+        )
+        return errbit, errblock, frames
+
+    return step
+
+
+def run_fused_sweep(
+    preset: Preset,
+    snr_points,
+    total_frames: int,
+    batch: int = 4096,
+    mesh=None,
+    seed: Optional[int] = None,
+) -> list[PointResult]:
+    """Fixed-budget sweep with all SNR points fused into every batch."""
+    seed = preset.sweep.seed if seed is None else seed
+    snrs = list(snr_points)
+    sigmas = jnp.asarray([10.0 ** (-s / 20.0) for s in snrs], jnp.float32)
+    step = make_multisnr_step(preset, batch, len(snrs), mesh)
+    key = jax.random.PRNGKey(seed)
+    eb = np.zeros(len(snrs), np.int64)
+    ebl = np.zeros(len(snrs), np.int64)
+    fr = np.zeros(len(snrs), np.int64)
+    t0 = time.perf_counter()
+    done = 0
+    while done < total_frames:
+        a, b, c = step(key, jnp.int32(done), sigmas)
+        eb += np.asarray(a)
+        ebl += np.asarray(b)
+        fr += np.asarray(c)
+        done += batch
+    dt = time.perf_counter() - t0
+    return [
+        PointResult(preset.name, snrs[i], int(eb[i]), int(ebl[i]), int(fr[i]),
+                    seed, dt * fr[i] / max(done, 1))
+        for i in range(len(snrs))
+    ]
+
+
 def make_bpr_step(preset: Preset, batch: int, mesh=None) -> Callable:
     """BPr instrumentation step (ref: BPr_128.c): like make_frame_step but also
     accumulates the per-checkpoint per-stage info-bit error table E
@@ -252,6 +348,48 @@ def run_point(
             )
     res.elapsed_s += time.perf_counter() - t0
     return res
+
+
+def run_multiseed(
+    preset: Preset,
+    seeds,
+    snr_points=None,
+    error_blocks: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    batch: Optional[int] = None,
+    mesh=None,
+    log: Optional[Callable[[str], None]] = None,
+):
+    """The reference's multi-seed replication methodology as a feature
+    (SURVEY §2.5/§4.6: independent seeds per configuration, averaged by the
+    plot scripts).  Returns (per_seed: {seed: [PointResult]}, averaged:
+    [dict]) where each averaged record pools error counts over seeds —
+    equivalent to plot_SCL.py's row averaging but weighted by frames."""
+    per_seed = {}
+    for seed in seeds:
+        per_seed[seed] = run_sweep(
+            preset, batch=batch, mesh=mesh, snr_points=snr_points,
+            error_blocks=error_blocks, max_frames=max_frames, seed=seed,
+            log=log,
+        )
+    averaged = []
+    points = [r.snr_db for r in per_seed[seeds[0]]]
+    for i, snr in enumerate(points):
+        frames = sum(per_seed[s][i].frames for s in seeds)
+        errblock = sum(per_seed[s][i].errblock for s in seeds)
+        errbit = sum(per_seed[s][i].errbit for s in seeds)
+        averaged.append(
+            {
+                "preset": preset.name,
+                "snr_db": snr,
+                "seeds": list(seeds),
+                "frames": frames,
+                "errblock": errblock,
+                "bler": errblock / max(frames, 1),
+                "ber": errbit / max(frames * preset.code.num_info, 1),
+            }
+        )
+    return per_seed, averaged
 
 
 def run_sweep(

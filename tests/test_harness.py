@@ -73,3 +73,29 @@ def test_cascl_step_compiles_and_counts():
     eb, ebl = step(key, 0, 10.0 ** (-1.0 / 20.0))
     assert 0 <= int(ebl) <= 16
     assert int(eb) >= int(ebl)
+
+
+def test_run_multiseed_pools_counts():
+    from polardecoding_tpu.parallel.harness import run_multiseed
+
+    p = preset("SC_128")
+    per_seed, averaged = run_multiseed(
+        p, [1, 2], snr_points=[1.5], batch=64, error_blocks=4, max_frames=128,
+    )
+    assert set(per_seed) == {1, 2}
+    rec = averaged[0]
+    assert rec["frames"] == sum(per_seed[s][0].frames for s in (1, 2))
+    assert rec["errblock"] == sum(per_seed[s][0].errblock for s in (1, 2))
+    # different seeds must see different noise: counters differ generically
+    assert per_seed[1][0].errbit != per_seed[2][0].errbit
+
+
+def test_fused_sweep_matches_per_point_statistics():
+    from polardecoding_tpu.parallel.harness import run_fused_sweep
+
+    p = preset("SC_128")
+    res = run_fused_sweep(p, [1.0, 3.0], total_frames=256, batch=64)
+    assert [r.snr_db for r in res] == [1.0, 3.0]
+    assert sum(r.frames for r in res) == 256
+    # 1.0 dB is much noisier than 3.0 dB
+    assert res[0].errblock > res[1].errblock
