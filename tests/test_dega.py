@@ -104,6 +104,39 @@ def test_bprga_1024_matches_reference_output():
         )
 
 
+def test_bprga_w_matches_reference_with_our_m_matrices():
+    """Closed loop on the makeLambda replacement: tests/golden/bprga_128_W.txt
+    is the compiled BPRGA_128_W.c driven by OUR generated M128 matrices
+    (utils/gf2.write_m_dat, Kao convention).  Our Lee-based bprga_w must
+    reproduce its E tables — exactly where the support is a single factor,
+    and to ~1% elsewhere (the LUT CHK chain is not associative, and the
+    relabeled support order differs)."""
+    from polardecoding_tpu.analysis.dega import bprga_w
+
+    blocks = {}
+    cur = None
+    for line in _lines("bprga_128_W.txt"):
+        if line.startswith("bSNR"):
+            cur = float(line.split()[2])
+            blocks[cur] = {}
+        else:
+            parts = line.split()
+            if len(parts) == 9:
+                blocks[cur][int(parts[0])] = np.array(
+                    [float(v) for v in parts[1:]]
+                )
+    assert set(blocks) == {2.0, 2.5, 3.0, 3.5, 4.0}
+    for snr, rows in blocks.items():
+        got = bprga_w(128, 64, snr, 32)
+        for it, want in rows.items():
+            np.testing.assert_allclose(
+                got[it], want, rtol=0.02, atol=1e-4,
+                err_msg=f"snr {snr} iter {it}",
+            )
+            # first column (stage 0, no combining) must be exact
+            assert abs(got[it][0] - want[0]) < 2e-6
+
+
 def test_frozen_stage_masks_counts():
     """Stage-0 mask = frozen set; rightmost stage has no frozen node (any
     info bit in the support unfreezes); counts shrink monotonically."""
