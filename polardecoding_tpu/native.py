@@ -60,6 +60,13 @@ def _load():
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
     ]
+    lib.pd_golden_mc_list.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+    ]
     _lib = lib
     return lib
 
@@ -72,6 +79,44 @@ def golden_noise(seed: int, nframes: int, N: int, sigma: float) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def golden_mc_list(
+    N: int,
+    K: int,
+    info_set: np.ndarray,
+    seed: int,
+    snr_db: float,
+    nframes: int,
+    list_size: int = 8,
+    crc_exponents=None,
+    return_bits: bool = True,
+):
+    """Native SCL / CA-SCL Monte-Carlo at matched seeds.  info_set carries the
+    K + r info channels for CA-SCL (pass crc_exponents) or K for plain SCL.
+    Returns (errbit, errblock, bits [nframes, len(info_set)] or None)."""
+    lib = _load()
+    info = np.ascontiguousarray(info_set, dtype=np.int32)
+    KI = info.shape[0]
+    if crc_exponents:
+        exps = np.ascontiguousarray(crc_exponents, dtype=np.int32)
+        exps_p = exps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n_crc = len(crc_exponents)
+        assert KI == K + max(crc_exponents)
+    else:
+        exps_p, n_crc = None, 0
+        assert KI == K
+    eb = ctypes.c_int64()
+    ebl = ctypes.c_int64()
+    bits = np.empty((nframes, KI), dtype=np.int8) if return_bits else None
+    lib.pd_golden_mc_list(
+        N, K, KI, info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        exps_p, n_crc, seed, snr_db, nframes, list_size,
+        ctypes.byref(eb), ctypes.byref(ebl),
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+        if bits is not None else None,
+    )
+    return eb.value, ebl.value, bits
 
 
 def golden_mc(

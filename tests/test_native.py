@@ -56,3 +56,45 @@ def test_native_sc_bler_statistical():
     _, ebl, _ = golden_mc(128, 64, I, 1024, 3.0, 5000, decoder="sc",
                           return_bits=False)
     assert 0.012 < ebl / 5000 < 0.032
+
+
+def _fixture_bits(name):
+    frames = {}
+    path = os.path.join(os.path.dirname(__file__), "golden", name)
+    for line in open(path):
+        p = line.split()
+        if p[0] == "FRAME" and p[2] == "H":
+            frames[int(p[1])] = np.array([int(v) for v in p[3:]], dtype=np.int8)
+    return frames
+
+
+def test_native_scl_matches_reference_fixture():
+    from polardecoding_tpu.native import golden_mc_list
+
+    I = info_set(128, 64)
+    _, _, bits = golden_mc_list(128, 64, I, 1024, 1.0, 8, list_size=8)
+    fr = _fixture_bits("scl_128_frames.txt")
+    for f in range(8):
+        assert (bits[f] == fr[f][I]).all(), f"frame {f}"
+
+
+def test_native_cascl_matches_reference_fixture():
+    from polardecoding_tpu.native import golden_mc_list
+    from polardecoding_tpu.ops.crc import CRC6_EXPONENTS
+
+    I = info_set(128, 64 + max(CRC6_EXPONENTS))
+    _, _, bits = golden_mc_list(
+        128, 64, I, 1024, 1.0, 8, list_size=8, crc_exponents=CRC6_EXPONENTS
+    )
+    fr = _fixture_bits("cascl_128_frames.txt")
+    for f in range(8):
+        assert (bits[f] == fr[f][I]).all(), f"frame {f}"
+
+
+def test_native_scl_bler_statistical():
+    from polardecoding_tpu.native import golden_mc_list
+
+    I = info_set(128, 64)
+    _, ebl, _ = golden_mc_list(128, 64, I, 42, 2.0, 4000, list_size=8,
+                               return_bits=False)
+    assert 0.04 < ebl / 4000 < 0.075  # reference 3-seed avg 0.0552
