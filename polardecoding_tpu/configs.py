@@ -22,6 +22,10 @@ class CodeConfig:
     graph: str = "lee"  # "lee" (G = F^{tensor n}) or "kao" (bit-reversed, "_fag")
     crc: Optional[Tuple[int, ...]] = None  # CRC generator exponents, or None
     crc_style: str = "multiplicative"  # or "systematic"
+    # frozen-set construction: the reference's 5G table, GA-SC density
+    # evolution, or BP DE-GA ranking (BASELINE.json "RGA/DEGA construction")
+    construction: str = "5g"  # "5g" | "ga_sc" | "bp_dega"
+    design_snr_db: float = 2.0
 
     @property
     def n(self) -> int:
@@ -152,6 +156,13 @@ PRESETS = {
             DecoderConfig("bp", bp_iters=100, bp_early_stop=True),
             SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
             "BP_1024.c + G-matrix early stopping (extension; 2-3x at high SNR)",
+        ),
+        _p(
+            "BP_1024_GA",
+            CodeConfig(1024, 512, construction="ga_sc", design_snr_db=2.0),
+            DecoderConfig("bp", bp_iters=100, bp_early_stop=True),
+            SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
+            "BASELINE.json 'BP_1024 with RGA/DEGA construction and early stopping'",
         ),
         _p(
             "BPr_128",

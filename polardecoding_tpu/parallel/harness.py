@@ -44,7 +44,7 @@ from polardecoding_tpu.ops.crc import check_matrix, crc_encode_multiplicative, c
 from polardecoding_tpu.ops.encode import polar_encode, scatter_info
 from polardecoding_tpu.parallel.mesh import batch_sharding, data_mesh, round_up_batch
 from polardecoding_tpu.utils.pn import PN_PERIOD, pn_sequence
-from polardecoding_tpu.utils.sequences import frozen_mask, info_set
+from polardecoding_tpu.analysis.construction import code_frozen_mask, code_info_set
 
 
 @dataclasses.dataclass
@@ -98,8 +98,8 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
-    I = jnp.asarray(info_set(N, num_info))
-    frozen = jnp.asarray(frozen_mask(N, num_info))
+    I = jnp.asarray(code_info_set(code))
+    frozen = jnp.asarray(code_frozen_mask(code))
     pn = jnp.asarray(pn_sequence())
     crc_R = check_matrix(code.crc, num_info) if code.crc else None
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
@@ -153,8 +153,8 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None):
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
-    I = jnp.asarray(info_set(N, num_info))
-    frozen = jnp.asarray(frozen_mask(N, num_info))
+    I = jnp.asarray(code_info_set(code))
+    frozen = jnp.asarray(code_frozen_mask(code))
     pn = jnp.asarray(pn_sequence())
     crc_R = check_matrix(code.crc, num_info) if code.crc else None
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
@@ -249,8 +249,8 @@ def make_bpr_step(preset: Preset, batch: int, mesh=None) -> Callable:
 
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
-    I = jnp.asarray(info_set(N, K))
-    frozen = jnp.asarray(frozen_mask(N, K))
+    I = jnp.asarray(code_info_set(code))
+    frozen = jnp.asarray(code_frozen_mask(code))
     pn = jnp.asarray(pn_sequence())
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
 
