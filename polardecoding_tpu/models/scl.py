@@ -124,7 +124,7 @@ def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
     backend = jax.default_backend()
     return (
         backend not in ("cpu", "gpu")
-        and N >= 512
+        and (N >= 512 or (N >= 128 and L >= 2))
         and (B <= 128 or B % 128 == 0)
         and L * N <= 8192
     )

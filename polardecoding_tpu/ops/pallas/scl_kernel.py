@@ -76,139 +76,146 @@ def _encode_sub(x, n, TB):
 
 
 def _scl_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, llr, bits,
-                tmp, pm_ref, ub_ref, *, n, N, TB, L, CH):
+                tmp, pm_ref, ub_ref, *, n, N, TB, L, CH, BDT):
     """Refs (frames in lanes):
       ch_ref   [N, TB] f32 (input block, pre-transposed)
       fr_ref   [1, N] i32 in SMEM (frozen mask)
       u_out    [L, N, TB] i8 / pm_out [L, TB] f32 (output blocks)
-      llr, bits: lists of L scratch refs [N, TB] f32 (slot i = rows
+      llr:     list of L scratch refs [N, TB] f32 (slot i = rows
                  2^i-1..2^{i+1}-1; top row is padding)
-      tmp      list of L scratch refs [CH, TB] f32 — selection copies run in
-               CH-sublane chunks so the double buffer is chunk-sized instead
-               of a second full state (VMEM budget)
+      bits:    list of L scratch refs [N, TB] BDT (same slot layout; BDT is
+               f32 where it fits — faster, no relayouts — and int8 at
+               N=1024 L=8 to stay inside the 16 MB scoped-vmem limit)
+      tmp      2L scratch refs: L f32 [CH, TB] (llr chunks) then L int8
+               [CH, TB] (bits chunks) — selection copies run in CH-sublane
+               chunks so the double buffer is chunk-sized
       pm_ref   [L, TB] f32; ub_ref [L, TB] f32
+
+    MASKED SINGLE-PASS DESIGN: Mosaic lowers pl.when by predicated
+    compute-and-mask, not branch skipping (measured: runtime independent of
+    how many branches are "taken"), so this kernel executes each per-bit
+    phase exactly once with scalar masks instead of a chain of n+1 branch
+    bodies that all run anyway:
+      - one f- and one g-candidate per stage per bit, selected by
+        (t == i) / (t > i) scalars;
+      - the partial-sum combine chain always runs to the top, writing only
+        the t1-th slot and capturing the full codeword into the output block
+        at the last bit (t1 == n); decisions are recovered by one
+        encode-involution epilogue per path AFTER the bit loop;
+      - selection always runs; frozen bits keep their state via a final
+        scalar select (preserving the jnp engine's slot order exactly).
     """
-    zero_col = jnp.zeros((N, TB), jnp.float32)
+    tmp_l, tmp_b = tmp[:L], tmp[L:]
     for p in range(L):
-        llr[p][:] = zero_col
-        bits[p][:] = zero_col
+        llr[p][:] = jnp.zeros((N, TB), jnp.float32)
+        bits[p][:] = jnp.zeros((N, TB), BDT)
+        u_out_ref[p, :, :] = jnp.zeros((N, TB), jnp.int8)
+
+    def bxor(a, b):
+        return (a ^ b) if BDT == jnp.int8 else _fxor(a, b)  # 0/1: |a-b| exact
     row = jax.lax.broadcasted_iota(jnp.int32, (L, TB), dimension=0)
     pm_ref[:] = jnp.where(row == 0, 0.0, BIG)
 
     def slot(i):
         return (1 << i) - 1, (2 << i) - 1
 
-    def llr_phase(tt):
-        """g at stage tt (if < n) then f chain down to 0, for every path."""
-        if tt < n:
-            w = 1 << tt
-            lo, hi = slot(tt)
-            slo, shi = slot(tt + 1)
-            for p in range(L):
-                if tt + 1 == n:
-                    up, dn = ch_ref[:w, :], ch_ref[w : 2 * w, :]
-                else:
-                    src = llr[p][slo:shi, :]
-                    up, dn = src[:w, :], src[w:, :]
-                pb = bits[p][lo:hi, :]
-                llr[p][lo:hi, :] = dn + (1.0 - 2.0 * pb) * up
-        for i in range(tt - 1, -1, -1):
+    def body(j, carry):
+        t = _ntz32(j | N)
+        # ---- masked LLR pass: stages n-1 .. 0, one f + one g candidate each
+        for i in range(n - 1, -1, -1):
             w = 1 << i
             lo, hi = slot(i)
-            slo, shi = slot(i + 1)
+            use_g = t == i
+            use_f = t > i
             for p in range(L):
                 if i + 1 == n:
                     up, dn = ch_ref[:w, :], ch_ref[w : 2 * w, :]
                 else:
+                    slo, shi = slot(i + 1)
                     src = llr[p][slo:shi, :]
                     up, dn = src[:w, :], src[w:, :]
-                llr[p][lo:hi, :] = chk(up, dn)
+                pb = bits[p][lo:hi, :].astype(jnp.float32)
+                g_new = dn + (1.0 - 2.0 * pb) * up
+                f_new = chk(up, dn)
+                old = llr[p][lo:hi, :]
+                llr[p][lo:hi, :] = jnp.where(
+                    use_g, g_new, jnp.where(use_f, f_new, old)
+                )
 
-    def bit_phase(tt1):
-        """combine v' = [slot ^ v, v] upward tt1 stages, store at slot tt1.
-        At tt1 == n (the last bit) the combined v IS the codeword x; recover
-        the decisions u = encode(x) and emit them."""
-        for p in range(L):
-            v = ub_ref[p : p + 1, :]
-            for i in range(min(tt1, n)):
-                lo, hi = slot(i)
-                s = bits[p][lo:hi, :]
-                v = jnp.concatenate([_fxor(s, v), v], axis=0)
-            if tt1 < n:
-                lo, hi = slot(tt1)
-                bits[p][lo:hi, :] = v
-            else:
-                u = _encode_sub(v, n, TB)
-                u_out_ref[p, :, :] = u.astype(jnp.int8)
-
-    def body(j, carry):
-        t = _ntz32(j | N)
-        for tt in range(n + 1):
-            @pl.when(t == tt)
-            def _(tt=tt):
-                llr_phase(tt)
-
-        # l0 [L, TB], penalties
+        # ---- penalties + selection (always; frozen masked at the end)
         l0 = jnp.concatenate([llr[p][0:1, :] for p in range(L)], axis=0)
         absl = jnp.abs(l0)
         base = lut_correction(absl)
         pen0 = base + jnp.where(l0 < 0, absl, 0.0)
         pen1 = base + jnp.where(l0 > 0, absl, 0.0)
         pm = pm_ref[:]
-
         is_frozen = fr_ref[0, j] == 1
 
-        @pl.when(is_frozen)
-        def _():
-            pm_ref[:] = pm + pen0
-            ub_ref[:] = jnp.zeros((L, TB), jnp.float32)
+        cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)  # [2L, TB]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (2 * L, TB), 0)
+        rank = jnp.zeros((2 * L, TB), jnp.int32)
+        for i in range(2 * L):
+            ci = cand[i : i + 1, :]
+            less = (cand < ci) | ((cand == ci) & (rows < i))
+            ri = jnp.sum(less.astype(jnp.int32), axis=0, keepdims=True)
+            rank = jnp.where(rows == i, ri, rank)
+        onehot = [(rank == k).astype(jnp.float32) for k in range(L)]
+        W = [
+            [onehot[k][p : p + 1, :] + onehot[k][L + p : L + p + 1, :]
+             for p in range(L)]
+            for k in range(L)
+        ]
+        # chunked path copy; frozen bits keep the old chunk.  llr uses a
+        # select-sum MAC; int8 bits use a where-select chain (the parent is
+        # unique per slot, so W[k][p] is 0/1)
+        for c0 in range(0, N, CH):
+            for p in range(L):
+                tmp_l[p][:] = llr[p][c0 : c0 + CH, :]
+                tmp_b[p][:] = bits[p][c0 : c0 + CH, :]
+            for k in range(L):
+                acc = jnp.zeros((CH, TB), jnp.float32)
+                acc_b = jnp.zeros((CH, TB), BDT)
+                for p in range(L):
+                    acc = acc + W[k][p] * tmp_l[p][:]
+                    acc_b = jnp.where(W[k][p] > 0.5, tmp_b[p][:], acc_b)
+                llr[k][c0 : c0 + CH, :] = jnp.where(
+                    is_frozen, tmp_l[k][:], acc
+                )
+                bits[k][c0 : c0 + CH, :] = jnp.where(
+                    is_frozen, tmp_b[k][:], acc_b
+                )
+        new_pm = jnp.concatenate(
+            [jnp.sum(onehot[k] * cand, axis=0, keepdims=True)
+             for k in range(L)], axis=0)
+        new_ub = jnp.concatenate(
+            [jnp.sum(onehot[k][L:, :], axis=0, keepdims=True)
+             for k in range(L)], axis=0)
+        pm_ref[:] = jnp.where(is_frozen, pm + pen0, new_pm)
+        ub_ref[:] = jnp.where(is_frozen, jnp.zeros((L, TB), jnp.float32),
+                              new_ub)
 
-        @pl.when(jnp.logical_not(is_frozen))
-        def _():
-            cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)  # [2L, TB]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (2 * L, TB), 0)
-            rank = jnp.zeros((2 * L, TB), jnp.int32)
-            for i in range(2 * L):
-                ci = cand[i : i + 1, :]
-                less = (cand < ci) | ((cand == ci) & (rows < i))
-                ri = jnp.sum(less.astype(jnp.int32), axis=0, keepdims=True)
-                rank = jnp.where(rows == i, ri, rank)
-            onehot = [(rank == k).astype(jnp.float32) for k in range(L)]
-            # per-(dest, src) copy weights [1, TB]
-            W = [
-                [onehot[k][p : p + 1, :] + onehot[k][L + p : L + p + 1, :]
-                 for p in range(L)]
-                for k in range(L)
-            ]
-            # chunked select-sum path copy (tmp holds one chunk of all paths)
-            for arr in (llr, bits):
-                for c0 in range(0, N, CH):
-                    for p in range(L):
-                        tmp[p][:] = arr[p][c0 : c0 + CH, :]
-                    for k in range(L):
-                        acc = jnp.zeros((CH, TB), jnp.float32)
-                        for p in range(L):
-                            acc = acc + W[k][p] * tmp[p][:]
-                        arr[k][c0 : c0 + CH, :] = acc
-            new_pm = [
-                jnp.sum(onehot[k] * cand, axis=0, keepdims=True)
-                for k in range(L)
-            ]
-            new_ub = [
-                jnp.sum(onehot[k][L:, :], axis=0, keepdims=True)
-                for k in range(L)
-            ]
-            pm_ref[:] = jnp.concatenate(new_pm, axis=0)
-            ub_ref[:] = jnp.concatenate(new_ub, axis=0)
-
+        # ---- masked partial-sum combine: chain always runs to the top,
+        # writing only the t1-th slot; the full-size chain value (the
+        # codeword) lands in the output block at the last bit
         t1 = jnp.minimum(_ntz32(j + 1), n)
-        for tt1 in range(n + 1):
-            @pl.when(t1 == tt1)
-            def _(tt1=tt1):
-                bit_phase(tt1)
+        for p in range(L):
+            v = ub_ref[p : p + 1, :].astype(BDT)
+            for i in range(n):
+                lo, hi = slot(i)
+                old = bits[p][lo:hi, :]
+                bits[p][lo:hi, :] = jnp.where(t1 == i, v[: hi - lo, :], old)
+                v = jnp.concatenate([bxor(old, v), v], axis=0)
+            u_out_ref[p, :, :] = jnp.where(
+                t1 == n, v.astype(jnp.int8), u_out_ref[p, :, :]
+            )
         return carry
 
     lax.fori_loop(0, N, body, jnp.int32(0))
+
+    # epilogue: decisions u = encode(x) once per path (polar involution)
+    for p in range(L):
+        x = u_out_ref[p, :, :].astype(jnp.float32)
+        u_out_ref[p, :, :] = _encode_sub(x, n, TB).astype(jnp.int8)
     pm_out_ref[:] = pm_ref[:]
 
 
@@ -232,19 +239,26 @@ def scl_decode_pallas(
         # lane-dim blocks must be 128-divisible (or the whole array)
         tile = B if B <= 128 else 128
     assert B % tile == 0, (B, tile)
-    # selection-copy chunk (tmp = L x [CH, tile] f32): measured on v5e,
-    # CH=128 beats CH=512 (3.2k vs 2.0k fps at N=1024 L=8 — bigger chunks
-    # add VMEM pressure without reducing the issue-bound critical path)
+    # selection-copy chunk (tmp = L x [CH, tile]): measured on v5e, CH=128
+    # beats CH=512 (bigger chunks add VMEM pressure without shortening the
+    # issue-bound critical path)
     CH = min(128, N)
+    # bits dtype: f32 avoids narrow-dtype relayout overhead (~20% faster at
+    # N=128) but only fits the scoped-vmem budget up to L*N <= 4096; int8
+    # above that (measured better than bf16: 2873 vs 2371 fps at N=1024 L=8)
+    BDT = jnp.float32 if L * N <= 4096 else jnp.int8
 
     fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
     ch_t = ch_llr.T  # [N, B]
 
     def wrapped(ch_ref, fr_ref, u_out_ref, pm_out_ref, *scr):
-        groups = [list(scr[i * L : (i + 1) * L]) for i in range(3)]
+        llr_g = list(scr[:L])
+        bits_g = list(scr[L : 2 * L])
+        tmp_g = list(scr[2 * L : 4 * L])
         _scl_kernel(
-            ch_ref, fr_ref, u_out_ref, pm_out_ref, *groups,
-            scr[3 * L], scr[3 * L + 1], n=n, N=N, TB=tile, L=L, CH=CH,
+            ch_ref, fr_ref, u_out_ref, pm_out_ref, llr_g, bits_g, tmp_g,
+            scr[4 * L], scr[4 * L + 1], n=n, N=N, TB=tile, L=L, CH=CH,
+            BDT=BDT,
         )
 
     u_all_t, PM_t = pl.pallas_call(
@@ -265,8 +279,9 @@ def scl_decode_pallas(
         ),
         scratch_shapes=(
             [pltpu.VMEM((N, tile), jnp.float32) for _ in range(L)]  # llr
-            + [pltpu.VMEM((N, tile), jnp.float32) for _ in range(L)]  # bits
-            + [pltpu.VMEM((CH, tile), jnp.float32) for _ in range(L)]  # tmp
+            + [pltpu.VMEM((N, tile), BDT) for _ in range(L)]  # bits
+            + [pltpu.VMEM((CH, tile), jnp.float32) for _ in range(L)]  # tmp_l
+            + [pltpu.VMEM((CH, tile), BDT) for _ in range(L)]  # tmp_b
             + [
                 pltpu.VMEM((L, tile), jnp.float32),  # pm
                 pltpu.VMEM((L, tile), jnp.float32),  # ub
