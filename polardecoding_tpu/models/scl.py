@@ -127,6 +127,8 @@ def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
         and (N >= 512 or (N >= 128 and L >= 2))
         and (B <= 128 or B % 128 == 0)
         and L * N <= 8192
+        and L <= 8  # larger lists: L^2 selection ops blow compile/VMEM;
+        # hardware-validated up to L=8 — jnp engine handles the rest
     )
 
 
