@@ -23,7 +23,7 @@ from polardecoding_tpu.parallel.mesh import data_mesh
 BASELINE_FRAMES_PER_SEC = 1e7
 
 
-def bench(preset_name="BP_1024", batch=4096, snr_db=2.0, iters=5, warmup=2,
+def bench(preset_name="BP_1024", batch=8192, snr_db=2.0, iters=5, warmup=2,
           profile_dir=None):
     p = preset(preset_name)
     mesh = data_mesh()
