@@ -219,6 +219,144 @@ def _scl_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, llr, bits,
     pm_out_ref[:] = pm_ref[:]
 
 
+def _scl_kernel_branchy(ch_ref, fr_ref, u_out_ref, pm_out_ref, llr, bits,
+                tmp, pm_ref, ub_ref, *, n, N, TB, L, CH):
+    """Refs (frames in lanes):
+      ch_ref   [N, TB] f32 (input block, pre-transposed)
+      fr_ref   [1, N] i32 in SMEM (frozen mask)
+      u_out    [L, N, TB] i8 / pm_out [L, TB] f32 (output blocks)
+      llr, bits: lists of L scratch refs [N, TB] f32 (slot i = rows
+                 2^i-1..2^{i+1}-1; top row is padding)
+      tmp      list of L scratch refs [CH, TB] f32 — selection copies run in
+               CH-sublane chunks so the double buffer is chunk-sized instead
+               of a second full state (VMEM budget)
+      pm_ref   [L, TB] f32; ub_ref [L, TB] f32
+    """
+    zero_col = jnp.zeros((N, TB), jnp.float32)
+    for p in range(L):
+        llr[p][:] = zero_col
+        bits[p][:] = zero_col
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, TB), dimension=0)
+    pm_ref[:] = jnp.where(row == 0, 0.0, BIG)
+
+    def slot(i):
+        return (1 << i) - 1, (2 << i) - 1
+
+    def llr_phase(tt):
+        """g at stage tt (if < n) then f chain down to 0, for every path."""
+        if tt < n:
+            w = 1 << tt
+            lo, hi = slot(tt)
+            slo, shi = slot(tt + 1)
+            for p in range(L):
+                if tt + 1 == n:
+                    up, dn = ch_ref[:w, :], ch_ref[w : 2 * w, :]
+                else:
+                    src = llr[p][slo:shi, :]
+                    up, dn = src[:w, :], src[w:, :]
+                pb = bits[p][lo:hi, :]
+                llr[p][lo:hi, :] = dn + (1.0 - 2.0 * pb) * up
+        for i in range(tt - 1, -1, -1):
+            w = 1 << i
+            lo, hi = slot(i)
+            slo, shi = slot(i + 1)
+            for p in range(L):
+                if i + 1 == n:
+                    up, dn = ch_ref[:w, :], ch_ref[w : 2 * w, :]
+                else:
+                    src = llr[p][slo:shi, :]
+                    up, dn = src[:w, :], src[w:, :]
+                llr[p][lo:hi, :] = chk(up, dn)
+
+    def bit_phase(tt1):
+        """combine v' = [slot ^ v, v] upward tt1 stages, store at slot tt1.
+        At tt1 == n (the last bit) the combined v IS the codeword x; recover
+        the decisions u = encode(x) and emit them."""
+        for p in range(L):
+            v = ub_ref[p : p + 1, :]
+            for i in range(min(tt1, n)):
+                lo, hi = slot(i)
+                s = bits[p][lo:hi, :]
+                v = jnp.concatenate([_fxor(s, v), v], axis=0)
+            if tt1 < n:
+                lo, hi = slot(tt1)
+                bits[p][lo:hi, :] = v
+            else:
+                u = _encode_sub(v, n, TB)
+                u_out_ref[p, :, :] = u.astype(jnp.int8)
+
+    def body(j, carry):
+        t = _ntz32(j | N)
+        for tt in range(n + 1):
+            @pl.when(t == tt)
+            def _(tt=tt):
+                llr_phase(tt)
+
+        # l0 [L, TB], penalties
+        l0 = jnp.concatenate([llr[p][0:1, :] for p in range(L)], axis=0)
+        absl = jnp.abs(l0)
+        base = lut_correction(absl)
+        pen0 = base + jnp.where(l0 < 0, absl, 0.0)
+        pen1 = base + jnp.where(l0 > 0, absl, 0.0)
+        pm = pm_ref[:]
+
+        is_frozen = fr_ref[0, j] == 1
+
+        @pl.when(is_frozen)
+        def _():
+            pm_ref[:] = pm + pen0
+            ub_ref[:] = jnp.zeros((L, TB), jnp.float32)
+
+        @pl.when(jnp.logical_not(is_frozen))
+        def _():
+            cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)  # [2L, TB]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (2 * L, TB), 0)
+            rank = jnp.zeros((2 * L, TB), jnp.int32)
+            for i in range(2 * L):
+                ci = cand[i : i + 1, :]
+                less = (cand < ci) | ((cand == ci) & (rows < i))
+                ri = jnp.sum(less.astype(jnp.int32), axis=0, keepdims=True)
+                rank = jnp.where(rows == i, ri, rank)
+            onehot = [(rank == k).astype(jnp.float32) for k in range(L)]
+            # per-(dest, src) copy weights [1, TB]
+            W = [
+                [onehot[k][p : p + 1, :] + onehot[k][L + p : L + p + 1, :]
+                 for p in range(L)]
+                for k in range(L)
+            ]
+            # chunked select-sum path copy (tmp holds one chunk of all paths)
+            for arr in (llr, bits):
+                for c0 in range(0, N, CH):
+                    for p in range(L):
+                        tmp[p][:] = arr[p][c0 : c0 + CH, :]
+                    for k in range(L):
+                        acc = jnp.zeros((CH, TB), jnp.float32)
+                        for p in range(L):
+                            acc = acc + W[k][p] * tmp[p][:]
+                        arr[k][c0 : c0 + CH, :] = acc
+            new_pm = [
+                jnp.sum(onehot[k] * cand, axis=0, keepdims=True)
+                for k in range(L)
+            ]
+            new_ub = [
+                jnp.sum(onehot[k][L:, :], axis=0, keepdims=True)
+                for k in range(L)
+            ]
+            pm_ref[:] = jnp.concatenate(new_pm, axis=0)
+            ub_ref[:] = jnp.concatenate(new_ub, axis=0)
+
+        t1 = jnp.minimum(_ntz32(j + 1), n)
+        for tt1 in range(n + 1):
+            @pl.when(t1 == tt1)
+            def _(tt1=tt1):
+                bit_phase(tt1)
+        return carry
+
+    lax.fori_loop(0, N, body, jnp.int32(0))
+    pm_out_ref[:] = pm_ref[:]
+
+
+
 @functools.partial(
     jax.jit, static_argnames=("list_size", "tile", "interpret")
 )
@@ -243,23 +381,37 @@ def scl_decode_pallas(
     # beats CH=512 (bigger chunks add VMEM pressure without shortening the
     # issue-bound critical path)
     CH = min(128, N)
-    # bits dtype: f32 avoids narrow-dtype relayout overhead (~20% faster at
-    # N=128) but only fits the scoped-vmem budget up to L*N <= 4096; int8
-    # above that (measured better than bf16: 2873 vs 2371 fps at N=1024 L=8)
-    BDT = jnp.float32 if L * N <= 4096 else jnp.int8
+    # kernel variant selection, measured on v5e at B=256:
+    #   masked single-pass + f32 bits:  9062 fps at N=128 L=8 (best)
+    #   branchy pl.when chains + f32:   3167 fps at N=1024 L=8 (fits; best)
+    #   masked + int8 bits:             2873 fps at N=1024 L=8 (fits)
+    # the masked variant with f32 bits exceeds the 16 MB scoped-vmem limit
+    # above L*N = 4096, and narrow bits dtypes lose more to relayouts than
+    # masking saves — so use masked+f32 when it fits, else branchy+f32
+    use_masked = L * N <= 4096
+    BDT = jnp.float32
 
     fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
     ch_t = ch_llr.T  # [N, B]
 
+    n_tmp = 2 * L if use_masked else L
+
     def wrapped(ch_ref, fr_ref, u_out_ref, pm_out_ref, *scr):
         llr_g = list(scr[:L])
         bits_g = list(scr[L : 2 * L])
-        tmp_g = list(scr[2 * L : 4 * L])
-        _scl_kernel(
-            ch_ref, fr_ref, u_out_ref, pm_out_ref, llr_g, bits_g, tmp_g,
-            scr[4 * L], scr[4 * L + 1], n=n, N=N, TB=tile, L=L, CH=CH,
-            BDT=BDT,
-        )
+        tmp_g = list(scr[2 * L : 2 * L + n_tmp])
+        if use_masked:
+            _scl_kernel(
+                ch_ref, fr_ref, u_out_ref, pm_out_ref, llr_g, bits_g, tmp_g,
+                scr[2 * L + n_tmp], scr[2 * L + n_tmp + 1],
+                n=n, N=N, TB=tile, L=L, CH=CH, BDT=BDT,
+            )
+        else:
+            _scl_kernel_branchy(
+                ch_ref, fr_ref, u_out_ref, pm_out_ref, llr_g, bits_g, tmp_g,
+                scr[2 * L + n_tmp], scr[2 * L + n_tmp + 1],
+                n=n, N=N, TB=tile, L=L, CH=CH,
+            )
 
     u_all_t, PM_t = pl.pallas_call(
         wrapped,
@@ -280,8 +432,7 @@ def scl_decode_pallas(
         scratch_shapes=(
             [pltpu.VMEM((N, tile), jnp.float32) for _ in range(L)]  # llr
             + [pltpu.VMEM((N, tile), BDT) for _ in range(L)]  # bits
-            + [pltpu.VMEM((CH, tile), jnp.float32) for _ in range(L)]  # tmp_l
-            + [pltpu.VMEM((CH, tile), BDT) for _ in range(L)]  # tmp_b
+            + [pltpu.VMEM((CH, tile), jnp.float32) for _ in range(n_tmp)]
             + [
                 pltpu.VMEM((L, tile), jnp.float32),  # pm
                 pltpu.VMEM((L, tile), jnp.float32),  # ub
