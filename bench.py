@@ -32,8 +32,8 @@ def bench(preset_name="BP_1024", batch=8192, snr_db=2.0, iters=5, warmup=2,
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
 
     for i in range(warmup):
-        eb, ebl = step(key, jnp.int32(i * batch), sigma)
-    jax.block_until_ready((eb, ebl))
+        out = step(key, jnp.int32(i * batch), sigma)
+        jax.block_until_ready(out)
 
     if profile_dir:
         # jax.profiler traces replace the reference's "no tracing at all"

@@ -68,14 +68,15 @@ def scaling_bench(
         batch = batch_per_device * nd
         step = make_frame_step(preset, batch, mesh)
         for i in range(warmup):
-            r = step(key, jnp.int32(i * batch), sigma)
-        jax.block_until_ready(r)
+            jax.block_until_ready(step(key, jnp.int32(i * batch), sigma))
         t0 = time.perf_counter()
         rs = [step(key, jnp.int32((warmup + i) * batch), sigma) for i in range(steps)]
         jax.block_until_ready(rs)
         rate = steps * batch / (time.perf_counter() - t0)
         if base_rate is None:
-            base_rate = rate
+            # per-device baseline, so efficiency is right even when the
+            # first measured count is > 1 device
+            base_rate = rate / nd
         out.append(
             {
                 "devices": nd,

@@ -65,8 +65,9 @@ class PointResult:
         return self.errblock / max(self.frames, 1)
 
     @property
-    def ber(self) -> float:
-        # reference divides by the number of counted info bits per frame
+    def errbits_per_frame(self) -> float:
+        # raw bit errors per frame (can exceed 1); the reference's BER scale
+        # (errbit / (frames * num_info)) needs num_info — see to_json
         return self.errbit / max(self.frames, 1)
 
     def to_json(self, num_info: int) -> dict:
