@@ -194,6 +194,14 @@ def _chk_lut(a, b):
     )
 
 
+def _bitrev_perm(N: int) -> np.ndarray:
+    n = N.bit_length() - 1
+    r = np.zeros(N, dtype=np.int64)
+    for i in range(N):
+        r[i] = int(format(i, f"0{n}b")[::-1], 2)
+    return r
+
+
 def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32,
             num_iters=None):
     """Stage-projected info-bit BER via CHK-combining of W = l + r over the
@@ -202,12 +210,19 @@ def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32,
     (BPRGA_128_W.c:375-376); the N=1024 variant uses floor(iter_max / snr)
     (BPRGA_1024_W.c:414-415) — pass num_iters=int(40 / snr_db) for that
     preset.  E rows reported for every iteration index > 1 (1-based > 2).
-    Returns {iter: E[0..n]}."""
+    Returns {iter: E[0..n]}.
+
+    The GA sweep runs our Lee graph; the combining chain is evaluated in the
+    reference's KAO support order (Kao node (i, j) = Lee node (i, bitrev(j)))
+    because the LUT CHK is not associative — matching the factor ORDER, not
+    just the factor set, is what makes the result bit-comparable to the
+    compiled reference fed our write_m_dat matrices."""
     n = N.bit_length() - 1
     sigma = 10.0 ** (-snr_db / 20.0)
     L, R, _ = _init_messages(N, n, K, sigma, FROZEN_R_W)
     I = info_set(N, K)
-    supports = stage_projection_supports(N)
+    rev = _bitrev_perm(N)
+    supports = stage_projection_supports(N, "kao")
     fmasks = frozen_stage_masks(N, K)
     out = {}
     if num_iters is None:
@@ -218,13 +233,14 @@ def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32,
             E = np.zeros(n + 1)
             E[0] = union_bound(L[0][I])
             for i in range(1, n + 1):
-                W = L[i] + R[i]
+                W = (L[i] + R[i])[rev]  # Kao-indexed stage means
+                fz = fmasks[i][rev]
                 ps = []
                 for b in I:
-                    sup = supports[i][b]
+                    sup = supports[i][rev[b]]
                     acc = W[sup[0]]
                     for k in sup[1:]:
-                        if not fmasks[i][k]:
+                        if not fz[k]:
                             acc = _chk_lut(acc, W[k])
                     ps.append(0.5 * erfc(math.sqrt(max(acc, 0.0)) / 2.0))
                 E[i] = float(np.sum(ps))
@@ -234,13 +250,15 @@ def bprga_w(N: int, K: int, snr_db: float, iter_max: int = 32,
 
 def bprga_m(N: int, K: int, snr_db: float, iter_max: int = 32):
     """Like bprga_w but combining bit-VALUE LLRs W = log(2/erfc(sqrt(l+r)/2)-1)
-    over all support factors and converting back via p = (1 - tanh(W/2))/2
-    (BPRGA_128_M.c:395-425).  Reported for iterations 3..8."""
+    over ALL support factors (no frozen skip) and converting back via
+    p = (1 - tanh(W/2))/2 (BPRGA_128_M.c:395-425).  Reported for iterations
+    3..8.  Chain evaluated in Kao support order — see bprga_w."""
     n = N.bit_length() - 1
     sigma = 10.0 ** (-snr_db / 20.0)
     L, R, _ = _init_messages(N, n, K, sigma, FROZEN_R_W)
     I = info_set(N, K)
-    supports = stage_projection_supports(N)
+    rev = _bitrev_perm(N)
+    supports = stage_projection_supports(N, "kao")
     out = {}
     for it in range(int(iter_max - 6 * snr_db)):
         L, R = ga_iteration(L, R, n, N)
@@ -248,11 +266,11 @@ def bprga_m(N: int, K: int, snr_db: float, iter_max: int = 32):
             E = np.zeros(n + 1)
             E[0] = union_bound(L[0][I])
             for i in range(1, n + 1):
-                m = L[i] + R[i]
+                m = (L[i] + R[i])[rev]
                 W = np.log(2.0 / erfc(np.sqrt(np.maximum(m, 0.0)) / 2.0) - 1.0)
                 ps = []
                 for b in I:
-                    sup = supports[i][b]
+                    sup = supports[i][rev[b]]
                     acc = W[sup[0]]
                     for k in sup[1:]:
                         acc = _chk_lut(acc, W[k])

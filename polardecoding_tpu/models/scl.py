@@ -46,13 +46,24 @@ from polardecoding_tpu.ops.chk import phi_penalties_both
 BIG = 1e30  # PM of inactive list slots
 
 
-@functools.partial(jax.jit, static_argnames=("list_size", "return_all"))
-def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("list_size", "return_all", "return_ties")
+)
+def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
+               return_ties: bool = False):
     """Decode a batch of frames with SCL.
 
     ch_llr: [B, N]; frozen: [N] bool; list_size: L.
     Returns u_hat [B, N] int8 (min-PM path), or with return_all=True the tuple
     (u_all [B, L, N], PM [B, L]) for CA-SCL selection / tests.
+
+    return_ties=True appends a PM-tie counter [B] int32: the number of info
+    bits at which the L-th and (L+1)-th smallest of the 2L PM candidates were
+    exactly equal — the condition under which the reference's strict-less-
+    than-median repack keeps FEWER than L paths and prints "Oops!"
+    (SCL_1024.c:620-633).  We keep exactly L with index tie-breaks; a nonzero
+    counter marks the (measure-zero) frames where the two policies could
+    diverge, making that documented divergence observable rather than assumed.
     """
     B, N = ch_llr.shape
     n = N.bit_length() - 1
@@ -73,46 +84,60 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
         (lambda bc, u, tt=tt: bit_phase(bc, u, tt, n)) for tt in range(n + 1)
     ]
 
+    ties = jnp.zeros((B,), jnp.int32)
+
     def frozen_step(j, l0, pen0, pen1, state):
-        llr_c, bits_c, u_all, PM = state
+        llr_c, bits_c, u_all, PM, ties = state
         # frozen bit: every path takes u = 0 and pays PHI(l, 0)
         # (ref: SCL_1024.c:663-666 frozen branch)
-        return llr_c, bits_c, u_all, PM + pen0, jnp.zeros((B, L), jnp.int8)
+        return (llr_c, bits_c, u_all, PM + pen0, ties,
+                jnp.zeros((B, L), jnp.int8))
 
     def info_step(j, l0, pen0, pen1, state):
-        llr_c, bits_c, u_all, PM = state
+        llr_c, bits_c, u_all, PM, ties = state
         cand = jnp.concatenate([PM + pen0, PM + pen1], axis=-1)  # [B, 2L]
-        neg_top, idx = lax.top_k(-cand, L)  # smallest L, ties by index
-        parent = idx % L  # originating path slot
-        ub = (idx >= L).astype(jnp.int8)  # chosen bit
+        # L+1 smallest: [..., :L] survive; [..., L] is the reference's median
+        # PMcand[L] (only used for tie observability)
+        neg_top, idx = lax.top_k(-cand, L + 1)  # ties by index
+        parent = idx[..., :L] % L  # originating path slot
+        ub = (idx[..., :L] >= L).astype(jnp.int8)  # chosen bit
+        # reference keeps PM < median strictly; equality of the L-th and
+        # (L+1)-th candidates is the "Oops!" condition.  Guard against the
+        # BIG sentinels of the doubling phase (both would absorb to BIG).
+        tie = jnp.logical_and(
+            neg_top[..., L - 1] == neg_top[..., L],
+            -neg_top[..., L] < BIG / 2,
+        )
         take = lambda a: jnp.take_along_axis(
             a, parent.reshape(parent.shape + (1,) * (a.ndim - 2)), axis=1
         )
-        return take(llr_c), take(bits_c), take(u_all), -neg_top, ub
+        return (take(llr_c), take(bits_c), take(u_all), -neg_top[..., :L],
+                ties + tie.astype(jnp.int32), ub)
 
     def body(j, carry):
-        llr_c, bits_c, u_all, PM = carry
+        llr_c, bits_c, u_all, PM, ties = carry
         j = jnp.int32(j)
         t = ntz_traced(j | N)
         llr_c = lax.switch(t, llr_branches, llr_c, bits_c, ch)
         l0 = llr_c[..., 0]  # [B, L]
         pen0, pen1 = phi_penalties_both(l0)
-        llr_c, bits_c, u_all, PM, u = lax.cond(
+        llr_c, bits_c, u_all, PM, ties, u = lax.cond(
             frozen_i[j], frozen_step, info_step,
-            j, l0, pen0, pen1, (llr_c, bits_c, u_all, PM),
+            j, l0, pen0, pen1, (llr_c, bits_c, u_all, PM, ties),
         )
-        u_all = u_all.at[:, :, :].set(
-            lax.dynamic_update_slice_in_dim(u_all, u[:, :, None], j, axis=-1)
-        )
+        u_all = lax.dynamic_update_slice_in_dim(u_all, u[:, :, None], j, axis=-1)
         t1 = jnp.minimum(ntz_traced(j + 1), n)
         bits_c = lax.switch(t1, bit_branches, bits_c, u)
-        return llr_c, bits_c, u_all, PM
+        return llr_c, bits_c, u_all, PM, ties
 
-    _, _, u_all, PM = lax.fori_loop(0, N, body, (llr_c, bits_c, u_all, PM))
+    _, _, u_all, PM, ties = lax.fori_loop(
+        0, N, body, (llr_c, bits_c, u_all, PM, ties)
+    )
     if return_all:
-        return u_all, PM
+        return (u_all, PM, ties) if return_ties else (u_all, PM)
     best = jnp.argmin(PM, axis=-1)
-    return jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
+    u_hat = jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
+    return (u_hat, ties) if return_ties else u_hat
 
 
 def _pallas_ok(B: int, N: int, L: int = 1) -> bool:

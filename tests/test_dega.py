@@ -107,10 +107,9 @@ def test_bprga_1024_matches_reference_output():
 def test_bprga_w_matches_reference_with_our_m_matrices():
     """Closed loop on the makeLambda replacement: tests/golden/bprga_128_W.txt
     is the compiled BPRGA_128_W.c driven by OUR generated M128 matrices
-    (utils/gf2.write_m_dat, Kao convention).  Our Lee-based bprga_w must
-    reproduce its E tables — exactly where the support is a single factor,
-    and to ~1% elsewhere (the LUT CHK chain is not associative, and the
-    relabeled support order differs)."""
+    (utils/gf2.write_m_dat, Kao convention).  bprga_w evaluates the CHK chain
+    in Kao support order, so every column is exact to the golden's printed
+    precision."""
     from polardecoding_tpu.analysis.dega import bprga_w
 
     blocks = {}
@@ -130,11 +129,76 @@ def test_bprga_w_matches_reference_with_our_m_matrices():
         got = bprga_w(128, 64, snr, 32)
         for it, want in rows.items():
             np.testing.assert_allclose(
-                got[it], want, rtol=0.02, atol=1e-4,
+                got[it], want, atol=2e-6,
                 err_msg=f"snr {snr} iter {it}",
             )
-            # first column (stage 0, no combining) must be exact
-            assert abs(got[it][0] - want[0]) < 2e-6
+
+
+def test_bprga_m_matches_reference_output():
+    """tests/golden/bprga_128_M.txt is the compiled BPRGA_128_M.c (prob<->LLR
+    conversion path, BPRGA_128_M.c:395-425) driven by OUR M128 matrices
+    (gcc -O2 /root/reference/BPRGA_128_M.c; stdin = write_m_dat(128, 'kao')).
+    Sweeps bSNR 3.0..4.0 step 0.5, reports iterations 3..8.  The combining
+    chain runs in Kao support order, so every column is exact to the golden's
+    printed precision (%lf, 6 decimals)."""
+    from polardecoding_tpu.analysis.dega import bprga_m
+
+    blocks = {}
+    cur = None
+    for line in _lines("bprga_128_M.txt"):
+        if line.startswith("bSNR"):
+            cur = float(line.split()[2])
+            blocks[cur] = {}
+        else:
+            parts = line.split()
+            if len(parts) == 9:
+                blocks[cur][int(parts[0])] = np.array(
+                    [float(v) for v in parts[1:]]
+                )
+    assert set(blocks) == {3.0, 3.5, 4.0}
+    for snr, rows in blocks.items():
+        got = bprga_m(128, 64, snr, 32)
+        assert set(got) == set(rows), (snr, sorted(got), sorted(rows))
+        for it, want in rows.items():
+            np.testing.assert_allclose(
+                got[it], want, atol=2e-6,
+                err_msg=f"snr {snr} iter {it}",
+            )
+
+
+def test_bprga_1024_w_matches_reference_output():
+    """tests/golden/bprga_1024_W.txt is the compiled BPRGA_1024_W.c driven by
+    OUR M1024 matrices (stdin = write_m_dat(1024, 'kao')).  Exercises the
+    SNR-adaptive window iterMax/snr (BPRGA_1024_W.c:414-415) and the frozen-
+    factor skip at N=1024.  The reference prints `-nan` where a combined LLR
+    goes negative (sqrt of a negative, BPRGA_1024_W.c:475) — those entries are
+    undefined upstream and skipped here; our bprga_w clamps at 0 instead."""
+    from polardecoding_tpu.analysis.dega import bprga_w
+
+    blocks = {}
+    cur = None
+    for line in _lines("bprga_1024_W.txt"):
+        if line.startswith("bSNR"):
+            cur = float(line.split()[2])
+            blocks[cur] = {}
+        else:
+            parts = line.split()
+            if len(parts) == 12:
+                blocks[cur][int(parts[0])] = np.array(
+                    [float(v) for v in parts[1:]]
+                )
+    assert set(blocks) == {2.0, 2.5, 3.0, 3.5, 4.0}
+    for snr, rows in blocks.items():
+        got = bprga_w(1024, 512, snr, 40, num_iters=int(40 / snr))
+        # reference reports iter > 3 (1-based 5..window); ours reports > 1
+        assert set(rows) <= set(got), (snr, sorted(got), sorted(rows))
+        for it, want in rows.items():
+            finite = np.isfinite(want)
+            assert finite[0], f"snr {snr} iter {it}: stage-0 nan in golden"
+            np.testing.assert_allclose(
+                got[it][finite], want[finite], rtol=2e-5, atol=1e-7,
+                err_msg=f"snr {snr} iter {it}",
+            )
 
 
 def test_frozen_stage_masks_counts():

@@ -114,3 +114,42 @@ def test_cascl_end_to_end_clean():
     assert (got_w == np.asarray(w)).all()
     # syndrome of the decoded codeword is zero
     assert ((got_w @ R) % 2 == 0).all()
+
+
+def test_pm_tie_counter():
+    """The "Oops!" observability counter (VERDICT: SCL_1024.c:620-633): zero
+    on generic continuous-noise frames, positive when the 2L PM candidates
+    genuinely tie at the median (all-zero LLRs make every branch cost the
+    same LUT penalty)."""
+    N, K, L = 32, 20, 4
+    frozen = jnp.asarray(frozen_mask(N, K))
+    llrs = _random_llrs(N, 6, seed=7)
+    _, ties = scl_decode(jnp.asarray(llrs), frozen, list_size=L,
+                         return_ties=True)
+    assert (np.asarray(ties) == 0).all(), "generic frames must be tie-free"
+
+    degenerate = jnp.zeros((2, N))
+    _, ties = scl_decode(degenerate, frozen, list_size=L, return_ties=True)
+    assert (np.asarray(ties) > 0).all(), "all-zero LLRs must tie at the median"
+
+
+def test_pm_tie_counter_golden_frames_tie_free():
+    """The golden SCL fixture frames (seed 1024, the frame-parity oracle set)
+    must be tie-free — otherwise the documented keep-exactly-L divergence from
+    the reference's strict-median repack could be load-bearing in the parity
+    tests."""
+    import os
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "scl_128_frames.txt")
+    ys = {}
+    with open(golden) as f:
+        for line in f:
+            parts = line.split()
+            if parts[:1] == ["FRAME"] and parts[2] == "Y":
+                ys[int(parts[1])] = [float(v) for v in parts[3:]]
+    assert ys, "no Y rows in fixture"
+    sigma = 10.0 ** (-1.0 / 20.0)  # fixtures are seed 1024 @ 1.0 dB
+    llr = 2.0 * jnp.asarray(np.stack([ys[r] for r in sorted(ys)])) / sigma**2
+    frozen = jnp.asarray(frozen_mask(128, 64))
+    _, ties = scl_decode(llr, frozen, list_size=8, return_ties=True)
+    assert (np.asarray(ties) == 0).all()
