@@ -1,15 +1,24 @@
-"""Headline benchmark: decoded frames/s for the BP_1024 Monte-Carlo pipeline.
+"""Headline benchmark: decoded frames/s on the two north-star configs.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...detail}.
 
-The reference publishes no throughput numbers (no timing code exists —
-SURVEY §6); the baseline is the BASELINE.json north star of 1e7 decoded
-frames/s aggregate, so vs_baseline = frames_per_sec / 1e7 (single chip here;
-the multi-host target composes near-linearly since the only communication is
-the psum of two scalar counters per super-batch).
+BASELINE.json names BOTH BP and SCL L=8 at N=1024 ("decoded frames/s ...
+(BP and SCL L=8, N=1024)"), so this measures both full Monte-Carlo pipelines
+and reports vs_baseline on the WORSE of the two — the headline cannot hide
+the slower decoder.  The reference itself publishes no throughput numbers
+(no timing code exists — SURVEY §6); the 1e7 frames/s target is the
+aggregate multi-host north star, which composes near-linearly from the
+single-chip rates measured here (the only cross-chip communication is the
+psum of two scalar counters per super-batch).
+
+Reported rates use reference iteration semantics (BP: fixed 100 sweeps;
+SCL: full N-step list decode).  The continuous-batching BP engine
+(bp_1024_wave_fps — the production early-stop configuration, retiring each
+frame at its own convergence wave) is reported as detail.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -17,23 +26,27 @@ import jax
 import jax.numpy as jnp
 
 from polardecoding_tpu.configs import preset
-from polardecoding_tpu.parallel.harness import make_frame_step
+from polardecoding_tpu.parallel.harness import make_frame_step, make_wave_step
 from polardecoding_tpu.parallel.mesh import data_mesh
 
 BASELINE_FRAMES_PER_SEC = 1e7
 
 
-def bench(preset_name="BP_1024", batch=8192, snr_db=2.0, iters=5, warmup=2,
-          profile_dir=None):
+def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
+               profile_dir=None, mesh=None):
+    """frames/s of the full MC pipeline (gen + encode + channel + decode +
+    count) for one preset at one SNR."""
     p = preset(preset_name)
-    mesh = data_mesh()
+    mesh = mesh or data_mesh()
     step = make_frame_step(p, batch=batch, mesh=mesh)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
 
+    # Timing discipline: `block_until_ready` does not reliably block through
+    # the remote-device tunnel; forcing a scalar to host (int()) is the only
+    # trustworthy sync, and is what both ends of every timed region use.
     for i in range(warmup):
-        out = step(key, jnp.int32(i * batch), sigma)
-        jax.block_until_ready(out)
+        int(step(key, jnp.int32(i * batch), sigma)[0])
 
     if profile_dir:
         # jax.profiler traces replace the reference's "no tracing at all"
@@ -45,29 +58,72 @@ def bench(preset_name="BP_1024", batch=8192, snr_db=2.0, iters=5, warmup=2,
         ctx = contextlib.nullcontext()
     with ctx:
         t0 = time.perf_counter()
-        outs = []
-        for i in range(iters):
-            outs.append(step(key, jnp.int32((warmup + i) * batch), sigma))
-        jax.block_until_ready(outs)
+        outs = [step(key, jnp.int32((warmup + i) * batch), sigma)
+                for i in range(iters)]
+        # device executes dispatches in order: reducing every step's counter
+        # to one host scalar proves all `iters` steps finished
+        int(sum(o[0] for o in outs))
         dt = time.perf_counter() - t0
     return (iters * batch) / dt
 
 
-if __name__ == "__main__":
-    import sys
+def bench_waves(preset_name="BP_1024", batch=4096, snr_db=2.0, wave_iters=8,
+                steps=12, warmup=3, mesh=None):
+    """Steady-state retired frames/s of the continuous-batching BP engine."""
+    p = preset(preset_name)
+    mesh = mesh or data_mesh()
+    init, step, _ = make_wave_step(p, batch, wave_iters, mesh)
+    key = jax.random.PRNGKey(p.sweep.seed)
+    sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
+    carry = init(key, jnp.int32(0), sigma)
+    last = None
+    for _ in range(warmup):
+        carry, last = step(key, sigma, carry)
+    int(last[2])  # host-forced sync: warmup complete
+    t0 = time.perf_counter()
+    frs = []
+    for _ in range(steps):
+        carry, (eb, ebl, fr) = step(key, sigma, carry)
+        frs.append(fr)
+    # one lazy device-side sum, one host readback: the steps pipeline
+    # back-to-back instead of serializing on a tunnel round-trip each
+    frames = int(sum(frs))
+    return frames / (time.perf_counter() - t0)
 
-    prof = None
-    if "--profile" in sys.argv:
-        i = sys.argv.index("--profile")
-        prof = sys.argv[i + 1] if len(sys.argv) > i + 1 else "/tmp/pd_trace"
-    fps = bench(profile_dir=prof)
-    print(
-        json.dumps(
-            {
-                "metric": "BP_1024 decoded frames/s (100-iter BP, full MC pipeline, 1 chip)",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 4),
-            }
-        )
-    )
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bp-batch", type=int, default=8192)
+    ap.add_argument("--scl-batch", type=int, default=1024)
+    ap.add_argument("--wave-batch", type=int, default=4096)
+    ap.add_argument("--snr", type=float, default=2.0)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--profile", nargs="?", const="/tmp/pd_trace", default=None)
+    ap.add_argument("--skip-wave", action="store_true")
+    args = ap.parse_args()
+
+    bp_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
+                        args.warmup, profile_dir=args.profile)
+    scl_fps = bench_step("SCL_1024_L8", args.scl_batch, args.snr, args.iters,
+                         args.warmup)
+    wave_fps = None
+    if not args.skip_wave:
+        wave_fps = bench_waves("BP_1024", args.wave_batch, args.snr)
+
+    worst = min(bp_fps, scl_fps)
+    rec = {
+        "metric": "decoded frames/s at N=1024, 1 chip — min(BP 100-iter, SCL L=8), full MC pipeline",
+        "value": round(worst, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(worst / BASELINE_FRAMES_PER_SEC, 4),
+        "bp_1024_fps": round(bp_fps, 1),
+        "scl_1024_l8_fps": round(scl_fps, 1),
+    }
+    if wave_fps is not None:
+        rec["bp_1024_wave_fps"] = round(wave_fps, 1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

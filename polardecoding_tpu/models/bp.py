@@ -172,6 +172,72 @@ def bp_decode_auto(ch_llr, frozen, iters=100, flavor="minsum_lut",
                      early_stop_every=early_stop_every)
 
 
+# ---------------------------------------------------------------------------
+# Wave decoding: persistent message state advanced K iterations at a time.
+#
+# The continuous-batching BP engine (parallel/harness.run_point_waves) keeps a
+# full batch of in-flight frames, advances ALL of them by a wave of K
+# iterations, retires the frames whose G-matrix check passes (or that hit
+# iterMax), and refills the freed slots with fresh frames in place.  Unlike
+# the whole-decode early stop (jnp.all over the batch), a frame's decision is
+# taken at ITS OWN first wave boundary where the per-frame check passes —
+# a pure function of (channel LLRs, K), independent of batch size, sharding,
+# and what other frames share the batch.  K is part of the decode semantics
+# and is recorded in the preset (decoder.wave_iters).
+
+
+def wave_init_state(ch_llr, frozen):
+    """Pack fresh BP message state [2(n+1), B, N] (stage-major — each stage
+    is a contiguous [B, N] plane, which is what the Pallas wave kernel can
+    tile): planes 0..n = L (L[n] = the channel LLRs), planes n+1..2n+1 = R
+    (R[0] = frozen 999/0)."""
+    B, N = ch_llr.shape
+    n = N.bit_length() - 1
+    dt = ch_llr.dtype
+    r0 = jnp.where(frozen, jnp.asarray(FROZEN_R, dt), jnp.asarray(0, dt))
+    Ls = [jnp.zeros((B, N), dt)] * n + [ch_llr]
+    Rs = [jnp.broadcast_to(r0, (B, N))] + [jnp.zeros((B, N), dt)] * n
+    return jnp.stack(Ls + Rs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "flavor"))
+def bp_wave_jnp(state, iters: int = 8, flavor: str = "minsum_lut"):
+    """Advance packed state by `iters` BP iterations (jnp fallback)."""
+    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    S2 = state.shape[0]
+    n = S2 // 2 - 1
+
+    def body(_, st):
+        Ls = [st[i] for i in range(n + 1)]
+        Rs = [st[n + 1 + i] for i in range(n + 1)]
+        Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
+        return jnp.stack(Ls + Rs, axis=0)
+
+    return lax.fori_loop(0, iters, body, state)
+
+
+def bp_wave(state, iters: int = 8, flavor: str = "minsum_lut"):
+    """Backend dispatch for the wave advance."""
+    if jax.default_backend() not in ("cpu", "gpu") and state.shape[1] % 8 == 0:
+        from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_pallas
+
+        return bp_wave_pallas(state, iters=iters, flavor=flavor)
+    return bp_wave_jnp(state, iters=iters, flavor=flavor)
+
+
+def wave_decide(state, frozen):
+    """(u_hat [B, N] int8, done [B] bool) from packed state: decision
+    sign(L0 + R0) on info bits; done = G-matrix check, x(u_hat) equal to the
+    posterior channel-stage hard decision sign(L[n] + R[n])."""
+    S2 = state.shape[0]
+    n = S2 // 2 - 1
+    soft = state[0] + state[n + 1]
+    u_hat = jnp.where(frozen, 0, (soft < 0)).astype(jnp.int8)
+    x_hat = polar_encode(u_hat)
+    post = (state[n] + state[2 * n + 1] < 0).astype(jnp.int8)
+    return u_hat, jnp.all(x_hat == post, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "flavor", "checkpoints"))
 def bpr_decode(
     ch_llr,

@@ -141,44 +141,45 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
 
 
 def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
-    """The whole-decode Pallas kernel wins for large N on TPU backends; its
-    lane-dim blocking needs B <= 128 or a multiple of 128 (measured on v5e:
-    N=1024 L=8 3.2k vs 1.5k fps; at N=128 the jnp engine is faster).  Per-path
-    state must fit the 16 MB scoped-vmem budget: 2 state arrays x L paths x
-    [N, 128] f32 + chunk buffers, so L*N is capped."""
+    """The subtree-hybrid Pallas kernel (ops/pallas/scl_tree_kernel.py) wins
+    on TPU backends for every shipped config (measured on v5e: N=128 L=8
+    83k fps vs 6.4k jnp; N=1024 L=8 see README perf table).  Its lane-dim
+    blocking needs B to divide into the lane tile (<= 128, shrunk for big
+    L*N to fit VMEM — scl_tree_kernel._pick_tile)."""
     backend = jax.default_backend()
-    return (
-        backend not in ("cpu", "gpu")
-        and (N >= 512 or (N >= 128 and L >= 2))
-        and (B <= 128 or B % 128 == 0)
-        and L * N <= 8192
-        and L <= 8  # larger lists: L^2 selection ops blow compile/VMEM;
-        # hardware-validated up to L=8 — jnp engine handles the rest
-    )
+    if backend in ("cpu", "gpu") or N < 32:
+        return False
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import _pick_tile
+
+    tile = _pick_tile(N, L) if B > 128 else min(_pick_tile(N, L), B)
+    return B % tile == 0
 
 
-def scl_decode_auto(ch_llr, frozen, list_size: int = 8, return_all: bool = False):
-    """Dispatch to the VMEM-resident Pallas SCL kernel where it wins."""
+def scl_decode_auto(ch_llr, frozen, list_size: int = 8,
+                    return_all: bool = False, return_ties: bool = False):
+    """Dispatch to the VMEM-resident subtree Pallas kernel where it wins."""
     B, N = ch_llr.shape
     if _pallas_ok(B, N, list_size):
-        from polardecoding_tpu.ops.pallas.scl_kernel import scl_decode_pallas
+        from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
 
-        u_all, PM = scl_decode_pallas(ch_llr, frozen, list_size=list_size)
+        u_all, PM, ties = scl_decode_tree(ch_llr, frozen, list_size=list_size)
         if return_all:
-            return u_all, PM
+            return (u_all, PM, ties) if return_ties else (u_all, PM)
         best = jnp.argmin(PM, axis=-1)
-        return jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
-    return scl_decode(ch_llr, frozen, list_size=list_size, return_all=return_all)
+        u_hat = jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
+        return (u_hat, ties) if return_ties else u_hat
+    return scl_decode(ch_llr, frozen, list_size=list_size,
+                      return_all=return_all, return_ties=return_ties)
 
 
 def sc_decode_auto(ch_llr, frozen):
-    """SC via the SCL kernel at L=1 on TPU for large N (1.5x the jnp engine;
-    the L=1 path-metric rule decides by LLR sign, identical to SC)."""
+    """SC via the SCL kernel at L=1 on TPU (the L=1 path-metric rule decides
+    by LLR sign, identical to SC)."""
     B, N = ch_llr.shape
     if _pallas_ok(B, N):
-        from polardecoding_tpu.ops.pallas.scl_kernel import scl_decode_pallas
+        from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
 
-        u_all, _ = scl_decode_pallas(ch_llr, frozen, list_size=1)
+        u_all, _, _ = scl_decode_tree(ch_llr, frozen, list_size=1)
         return u_all[:, 0]
     from polardecoding_tpu.models.sc import sc_decode
 
@@ -207,10 +208,11 @@ def cascl_select(u_all, PM, info_positions, crc_R):
     return u_hat, any_ok
 
 
-def cascl_decode(ch_llr, frozen, info_positions, crc_R, list_size: int = 8):
+def cascl_decode(ch_llr, frozen, info_positions, crc_R, list_size: int = 8,
+                 return_ties: bool = False):
     """CRC-aided SCL: SCL pass + CRC-filtered min-PM selection."""
-    u_all, PM = scl_decode_auto(
-        ch_llr, frozen, list_size=list_size, return_all=True
+    u_all, PM, ties = scl_decode_auto(
+        ch_llr, frozen, list_size=list_size, return_all=True, return_ties=True
     )
     u_hat, _ = cascl_select(u_all, PM, info_positions, crc_R)
-    return u_hat
+    return (u_hat, ties) if return_ties else u_hat

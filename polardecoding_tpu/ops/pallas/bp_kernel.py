@@ -6,23 +6,16 @@ on [B, n+1, N] arrays; XLA fuses within a stage but streams the message state
 through HBM every stage of every iteration (~2 n x 100 array passes).  Here a
 tile of TB frames keeps its entire message state [n+1, TB, N] in VMEM scratch
 for all iterations: HBM traffic collapses to one [TB, N] read (channel LLRs)
-plus one [TB, N] write (decisions) per frame — the speed-of-light minimum —
-and every CHK runs on the VPU over [TB, N] register tiles.
+plus one [TB, N] write (decisions) per frame, and the kernel is VPU
+compute-bound (docs/ROOFLINE.md quantifies achieved vs peak).
 
 Butterfly exchange without reshapes: Mosaic cannot lower the [TB, G, 2, d]
 strided reshape views the jnp engine uses, so the stage-i partner exchange is
-expressed elementwise with lane rotations:
-
-    P(x) = where(upper_lane, roll(x, -d), roll(x, +d))      (partner swap)
-    S    = L[i+1] + R[i]                                     (var-node sums)
-    E    = CHK(R[i], L[i+1])                                 (shared check)
-    R'[i+1] = where(upper, CHK(R[i],   P(S)), R[i]   + P(E))
-    L'[i]   = where(upper, CHK(L[i+1], P(S)), L[i+1] + P(E))
-
-which is algebraically identical to the reference's four butterfly equations
-(BP_128.c:357-377): at an upper lane u, P(S)[u] = L[i+1][u+d] + R[i][u+d];
-at a lower lane l, P(E)[l] = CHK(R[i][l-d], L[i+1][l-d]).  The cyclic roll
-wrap-around only lands on lanes masked out by the select.
+expressed elementwise with lane rotations (P = roll-based partner swap) and
+ONE full-width CHK per half-sweep with lane-selected operands — see
+_sweep_update for the derivation from the reference's four butterfly
+equations (BP_128.c:357-377).  The cyclic roll wrap-around only lands on
+lanes masked out by the selects.
 
 Semantics identical to models/bp.bp_decode: Gauss-Seidel R-sweep then L-sweep
 per iteration, table-corrected min-sum CHK (or exact SPA), frozen R = 999,
@@ -56,6 +49,35 @@ def _pswap(x, i, up):
     return jnp.where(up, fwd, bwd)
 
 
+def _sweep_update(Rv, Lv, i, up, chk_fn):
+    """One butterfly half-sweep with a SINGLE full-width chk.
+
+    The four reference equations (BP_128.c:357-377) need, per butterfly pair
+    (u, l): chk(R[u], L[l]+R[l]) at the upper lane and chk(R[u], L[u]) at the
+    lower lane (then + R[l]).  Instead of evaluating two full-width chks and
+    masking half of each away (the v1 formulation — 2x VPU waste), build
+    lane-selected operands so ONE chk computes exactly the value every lane
+    needs:
+
+        A = where(up, R, P(R))            # u: R[u]      l: R[u]
+        B = where(up, P(L)+P(R), P(L))    # u: L[l]+R[l] l: L[u]
+        C = chk(A, B)                     # u: chk(R,S)  l: chk(R[u], L[u])
+        R' = where(up, C, R + C)
+
+    P is the cyclic-roll partner exchange; P(L+R) is formed as P(L)+P(R) to
+    reuse both rolls.  Operand selection moves values between lanes exactly
+    (no rounding), so results are bit-identical to the v1 kernel and the jnp
+    engine.  Returns the updated R (pass (Lv, Rv) swapped for the L-sweep:
+    the equations are symmetric under R<->L with the same operand pattern).
+    """
+    PR = _pswap(Rv, i, up)
+    PL = _pswap(Lv, i, up)
+    A = jnp.where(up, Rv, PR)
+    B = jnp.where(up, PL + PR, PL)
+    C = chk_fn(A, B)
+    return jnp.where(up, C, Rv + C)
+
+
 def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
                early_stop):
     """Ls, Rs: VMEM scratch refs, n+1 each of [TB, N].  fr_ref: [1, N]."""
@@ -72,15 +94,11 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
 
     def one_iteration():
         for i in range(n):
-            R, L = Rs[i][:], Ls[i + 1][:]
-            S = _pswap(L + R, i, ups[i])
-            E = _pswap(chk_fn(R, L), i, ups[i])
-            Rs[i + 1][:] = jnp.where(ups[i], chk_fn(R, S), R + E)
+            Rs[i + 1][:] = _sweep_update(Rs[i][:], Ls[i + 1][:], i, ups[i],
+                                         chk_fn)
         for i in range(n - 1, -1, -1):
-            R, L = Rs[i][:], Ls[i + 1][:]
-            S = _pswap(L + R, i, ups[i])
-            E = _pswap(chk_fn(R, L), i, ups[i])
-            Ls[i][:] = jnp.where(ups[i], chk_fn(L, S), L + E)
+            Ls[i][:] = _sweep_update(Ls[i + 1][:], Rs[i][:], i, ups[i],
+                                     chk_fn)
 
     if early_stop:
         # G-matrix stopping rule (extension — the reference always runs
@@ -115,6 +133,78 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
 def _fxor01(a, b):
     """xor of 0/1 floats."""
     return jnp.abs(a - b)
+
+
+def _bp_wave_kernel(sin_ref, sout_ref, *, n, N, TB, iters, chk_fn):
+    """K-iteration BP wave on persistent message state.
+
+    sin/sout: [2(n+1), TB, N] f32 — planes 0..n are L (L[n] = channel LLRs,
+    fixed), planes n+1..2n+1 are R (R[0] = frozen 999/0 row, fixed).  The
+    stage-major layout makes every per-stage operand a contiguous [TB, N]
+    (sublane, lane) tile — slicing the batch-major [B, S2, N] layout instead
+    yields 1-sublane strided views Mosaic refuses to lower.  Runs `iters`
+    flooding iterations with the whole lattice VMEM-resident; the caller owns
+    convergence checks and retirement (parallel/harness.make_wave_step).
+    """
+    sout_ref[:] = sin_ref[:]
+    ups = [_upper_mask(i, TB, N) for i in range(n)]
+
+    def L(i):
+        return sout_ref[i, :, :]
+
+    def R(i):
+        return sout_ref[n + 1 + i, :, :]
+
+    def one_iteration():
+        for i in range(n):
+            sout_ref[n + 2 + i, :, :] = _sweep_update(R(i), L(i + 1), i,
+                                                      ups[i], chk_fn)
+        for i in range(n - 1, -1, -1):
+            sout_ref[i, :, :] = _sweep_update(L(i + 1), R(i), i, ups[i],
+                                              chk_fn)
+
+    lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret")
+)
+def bp_wave_pallas(state, iters: int = 8, flavor: str = "minsum_lut",
+                   tile: int = 0, interpret: bool = False):
+    """Advance persistent BP state [2(n+1), B, N] f32 by `iters` iterations.
+    Same per-iteration semantics as bp_decode_pallas / models/bp.bp_iteration
+    (BP_128.c:355-377 sweep order)."""
+    S2, B, N = state.shape
+    n = S2 // 2 - 1
+    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    if tile == 0:
+        # in + out blocks both live in VMEM (plus pipeline double-buffering):
+        # keep 4 x S2 x tile x N f32 within ~12 MB
+        budget = 3 * 1024 * 1024
+        cap = max(8, budget // (S2 * N * 4))
+        tile = 8
+        while tile * 2 <= min(cap, 256) and B % (tile * 2) == 0:
+            tile *= 2
+        tile = min(tile, B)
+    assert B % tile == 0, (B, tile)
+    kernel = functools.partial(
+        _bp_wave_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((S2, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S2, tile, N), lambda g: (0, g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S2, B, N), state.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(state)
 
 
 @functools.partial(

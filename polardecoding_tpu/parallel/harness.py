@@ -59,6 +59,11 @@ class PointResult:
     frames: int
     seed: int
     elapsed_s: float = 0.0
+    # frames where an SCL selection hit an exact PM tie at the median — the
+    # reference's "Oops!" condition (SCL_1024.c:620-633).  Zero everywhere
+    # observed; nonzero would flag frames where our keep-exactly-L policy
+    # could diverge from the reference's strict-below-median repack.
+    pm_ties: int = 0
 
     @property
     def bler(self) -> float:
@@ -81,6 +86,7 @@ class PointResult:
             "ber": self.errbit / max(self.frames * num_info, 1),
             "seed": self.seed,
             "elapsed_s": self.elapsed_s,
+            "pm_ties": self.pm_ties,
         }
 
 
@@ -95,7 +101,8 @@ def payload_from_index(frame_index, pn, K: int):
 
 def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
     """Build the jitted super-batch step: (key, frame_start, sigma) ->
-    (errbit, errblock) int32 scalars summed over the batch."""
+    (errbit, errblock, pm_ties) int32 scalars summed over the batch
+    (pm_ties = frames with an SCL median PM tie; 0 for non-list decoders)."""
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
@@ -106,18 +113,20 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
 
     def decode(llr):
+        """-> (u_hat [B, N] int8, tie frame counter [B] int32 or None)."""
         if dec.kind == "bp":
             return bp_decode_auto(
                 llr, frozen, iters=dec.bp_iters, flavor=dec.bp_flavor,
                 early_stop_every=(4 if dec.bp_early_stop else 0),
-            )
+            ), None
         if dec.kind == "sc":
-            return sc_decode_auto(llr, frozen)
+            return sc_decode_auto(llr, frozen), None
         if dec.kind == "scl":
-            return scl_decode_auto(llr, frozen, list_size=dec.list_size)
+            return scl_decode_auto(llr, frozen, list_size=dec.list_size,
+                                   return_ties=True)
         if dec.kind == "cascl":
             return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
-                                list_size=dec.list_size)
+                                list_size=dec.list_size, return_ties=True)
         raise ValueError(f"unknown decoder kind {dec.kind!r}")
 
     @jax.jit
@@ -136,11 +145,13 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
         x = polar_encode(u)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         llr = awgn_llr(x, keys, sigma)
-        u_hat = decode(llr)
+        u_hat, ties = decode(llr)
         bad = u_hat[:, I] != w
         errbit = jnp.sum(bad, dtype=jnp.int32)
         errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
-        return errbit, errblock
+        pm_ties = (jnp.int32(0) if ties is None
+                   else jnp.sum((ties > 0).astype(jnp.int32)))
+        return errbit, errblock, pm_ties
 
     return step
 
@@ -241,6 +252,169 @@ def run_fused_sweep(
     ]
 
 
+def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
+                   mesh=None) -> tuple[Callable, Callable]:
+    """Continuous-batching BP stepper (the production early-stop engine).
+
+    Returns (init, step):
+      init(key, frame_start, sigma) -> carry
+      step(key, sigma, carry) -> (carry', (errbit, errblock, frames) int32)
+
+    carry = (state [2(n+1), B, N], fidx [B] i32, iters_done [B] i32,
+             next_fidx i32).  Each step advances EVERY in-flight frame by
+    `wave_iters` BP iterations (models/bp.bp_wave — VMEM-resident Pallas
+    kernel on TPU), retires frames whose per-frame G-matrix check passes or
+    that reached iterMax, counts their info-bit errors, and refills the freed
+    slots with fresh frames IN PLACE (no compaction: slots are independent).
+
+    Unlike the batch-global early stop (jnp.all over the whole batch), a
+    frame's decision here is taken at its own first wave boundary where its
+    check passes — a pure function of (seed, frame index, wave_iters),
+    independent of batch size and sharding.  Throughput at operating SNRs
+    approaches iterMax / E[convergence iters] times the fixed-iteration
+    engine because no slot ever idles waiting for a slow frame.
+    """
+    from polardecoding_tpu.models.bp import bp_wave, wave_decide, wave_init_state
+
+    code, dec = preset.code, preset.decoder
+    assert dec.kind == "bp", "wave stepping is a BP engine"
+    N, K = code.N, code.K
+    iter_max = dec.bp_iters
+    I = jnp.asarray(code_info_set(code))
+    frozen = jnp.asarray(code_frozen_mask(code))
+    pn = jnp.asarray(pn_sequence())
+    shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
+
+    def fresh_llr(key, fidx, sigma):
+        payload = payload_from_index(fidx, pn, K)
+        u = scatter_info(payload, I, N)
+        x = polar_encode(u)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
+        return awgn_llr(x, keys, sigma), payload
+
+    @jax.jit
+    def init(key, frame_start, sigma):
+        fidx = frame_start + jnp.arange(batch, dtype=jnp.int32)
+        if shard is not None:
+            fidx = lax.with_sharding_constraint(fidx, shard)
+        llr, _ = fresh_llr(key, fidx, sigma)
+        state = wave_init_state(llr, frozen)
+        return (state, fidx, jnp.zeros(batch, jnp.int32),
+                frame_start + jnp.int32(batch))
+
+    # The carry is donated: the old state buffer is dead the moment the wave
+    # kernel writes the new one, and donation lets XLA update it in place
+    # (~90 KB/frame of HBM churn otherwise).  CPU ignores donation (tests
+    # unaffected); callers must not reuse a carry after stepping it.
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(key, sigma, carry):
+        state, fidx, iters_done, next_fidx = carry
+        state = bp_wave(state, iters=wave_iters, flavor=dec.bp_flavor)
+        iters_done = iters_done + wave_iters
+        u_hat, done = wave_decide(state, frozen)
+        retire = done | (iters_done >= iter_max)
+        # count info-bit errors of retired frames against their payloads
+        payload = payload_from_index(fidx, pn, K)
+        bad = (u_hat[:, I] != payload) & retire[:, None]
+        errbit = jnp.sum(bad, dtype=jnp.int32)
+        errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
+        frames = jnp.sum(retire, dtype=jnp.int32)
+        # refill retired slots in place with the next frame indices
+        rank = jnp.cumsum(retire.astype(jnp.int32)) - 1
+        fidx = jnp.where(retire, next_fidx + rank, fidx)
+        next_fidx = next_fidx + frames
+        llr, _ = fresh_llr(key, fidx, sigma)
+        fresh = wave_init_state(llr, frozen)
+        state = jnp.where(retire[None, :, None], fresh, state)
+        iters_done = jnp.where(retire, 0, iters_done)
+        return (state, fidx, iters_done, next_fidx), (errbit, errblock, frames)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def drain_step(sigma, carry):
+        """Like step but retires WITHOUT refilling (slots die, fidx = -1).
+
+        Required for unbiased adaptive stopping: frames still in flight when
+        the error target fires are disproportionately the slow-converging
+        (= likely erroneous) ones; stopping without draining censors them
+        and biases BLER low.  Draining counts every issued frame exactly
+        once."""
+        state, fidx, iters_done, next_fidx = carry
+        state = bp_wave(state, iters=wave_iters, flavor=dec.bp_flavor)
+        iters_done = iters_done + wave_iters
+        u_hat, done = wave_decide(state, frozen)
+        alive = fidx >= 0
+        retire = (done | (iters_done >= iter_max)) & alive
+        payload = payload_from_index(jnp.maximum(fidx, 0), pn, K)
+        bad = (u_hat[:, I] != payload) & retire[:, None]
+        errbit = jnp.sum(bad, dtype=jnp.int32)
+        errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
+        frames = jnp.sum(retire, dtype=jnp.int32)
+        fidx = jnp.where(retire, -1, fidx)
+        remaining = jnp.sum((fidx >= 0).astype(jnp.int32))
+        return (state, fidx, iters_done, next_fidx), (
+            errbit, errblock, frames, remaining)
+
+    return init, step, drain_step
+
+
+def run_point_waves(
+    preset: Preset,
+    snr_db: float,
+    batch: Optional[int] = None,
+    wave_iters: int = 8,
+    mesh=None,
+    error_blocks: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    seed: Optional[int] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> PointResult:
+    """Adaptive MC at one SNR point on the continuous-batching BP engine."""
+    sweep = preset.sweep
+    seed = sweep.seed if seed is None else seed
+    target = sweep.error_blocks if error_blocks is None else error_blocks
+    cap = sweep.max_frames if max_frames is None else max_frames
+    if mesh is None:
+        mesh = data_mesh()
+    if batch is None:
+        batch = round_up_batch(sweep.batch_per_device * mesh.devices.size, mesh)
+    init, step, drain_step = make_wave_step(preset, batch, wave_iters, mesh)
+    sigma = float(10.0 ** (-snr_db / 20.0))
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
+    res = PointResult(preset.name, snr_db, 0, 0, 0, seed)
+    carry = init(key, jnp.int32(0), sigma)
+    t0 = time.perf_counter()
+    # Forcing the counters to host every step would serialize on the device
+    # round-trip (through the axon tunnel that costs ~50 ms/step — 5x the
+    # compute).  Instead enqueue `sync_every` steps back-to-back, accumulating
+    # the per-step counter outputs lazily on device, and read back one summed
+    # scalar triple per chunk; stepping past the target within a chunk is
+    # harmless (the extra frames are counted, MC stays unbiased).
+    sync_every = 8
+    while res.errblock < target and res.frames < cap:
+        outs = []
+        for _ in range(sync_every):
+            carry, out = step(key, sigma, carry)
+            outs.append(out)
+        res.errbit += int(sum(o[0] for o in outs))
+        res.errblock += int(sum(o[1] for o in outs))
+        res.frames += int(sum(o[2] for o in outs))
+        if log:
+            log(
+                f"{preset.name} @ {snr_db:.2f} dB (waves): frames={res.frames} "
+                f"errblock={res.errblock} bler={res.bler:.3e}"
+            )
+    # drain in-flight frames so slow (error-prone) frames are not censored
+    remaining = batch
+    while remaining > 0:
+        carry, (eb, ebl, fr, rem) = drain_step(sigma, carry)
+        res.errbit += int(eb)
+        res.errblock += int(ebl)
+        res.frames += int(fr)
+        remaining = int(rem)
+    res.elapsed_s = time.perf_counter() - t0
+    return res
+
+
 def make_bpr_step(preset: Preset, batch: int, mesh=None) -> Callable:
     """BPr instrumentation step (ref: BPr_128.c): like make_frame_step but also
     accumulates the per-checkpoint per-stage info-bit error table E
@@ -338,9 +512,10 @@ def run_point(
     res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
     t0 = time.perf_counter()
     while res.errblock < target and res.frames < cap:
-        eb, ebl = step_fn(key, jnp.int32(res.frames), sigma)
+        eb, ebl, ties = step_fn(key, jnp.int32(res.frames), sigma)
         res.errbit += int(eb)
         res.errblock += int(ebl)
+        res.pm_ties += int(ties)
         res.frames += batch
         if log:
             log(

@@ -1,0 +1,44 @@
+"""Ad-hoc wave-engine throughput sweep on the real chip.
+
+Measures steady-state retired frames/s of the continuous-batching BP engine
+(parallel/harness.make_wave_step) across batch size and wave_iters, with the
+honest host-forced-scalar sync discipline (see bench.py docstring), plus the
+plain fixed-100-iteration engine for the speedup ratio.
+
+Usage:  python scripts/bench_wave.py [--snr 2.0] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+from bench import bench_step, bench_waves  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snr", type=float, default=2.0)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    plain = bench_step("BP_1024", 8192, args.snr, iters=5, warmup=2)
+    print(json.dumps({"engine": "plain100", "batch": 8192,
+                      "fps": round(plain, 1)}), flush=True)
+
+    grid = [(4096, 8), (8192, 8)] if args.quick else [
+        (2048, 8), (4096, 4), (4096, 8), (4096, 16), (8192, 8), (16384, 8)]
+    for batch, wi in grid:
+        fps = bench_waves("BP_1024", batch, args.snr, wave_iters=wi,
+                          steps=24, warmup=4)
+        print(json.dumps({"engine": "wave", "batch": batch, "wave_iters": wi,
+                          "fps": round(fps, 1),
+                          "x_plain": round(fps / plain, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def test_ga_preset_harness_decodes():
 
     p = preset("BP_1024_GA")
     step = make_frame_step(p, 16)
-    eb, ebl = step(jax.random.PRNGKey(0), 0, 10.0 ** (-3.0 / 20.0))
+    eb, ebl, _ = step(jax.random.PRNGKey(0), 0, 10.0 ** (-3.0 / 20.0))
     assert 0 <= int(ebl) <= 16
 
 

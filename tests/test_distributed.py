@@ -1,4 +1,6 @@
 """Scaling harness on the virtual 8-device CPU mesh."""
+import os
+
 import jax
 
 from polardecoding_tpu.configs import preset
@@ -18,3 +20,57 @@ def test_scaling_bench_runs_on_cpu_mesh():
     for r in recs:
         assert r["frames_per_sec"] > 0
         assert 0 < r["efficiency"] <= 2.0
+
+
+def test_two_process_determinism():
+    """SURVEY §4's explicit multi-node ask: bring up jax.distributed across
+    TWO OS processes (4 virtual CPU devices each, 8-device global mesh), run
+    the ordinary harness step over the global mesh, and require the psum'd
+    counters to be identical across processes AND bit-equal to this process's
+    single-process 8-device run.  Proves the multi-host code path
+    (distributed.init_distributed + global-mesh sharding + cross-process
+    collectives) executes and is deterministic; hardware scaling efficiency
+    is then the only multi-host unknown."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+    from polardecoding_tpu.configs import preset
+    from polardecoding_tpu.parallel.harness import make_frame_step
+    from polardecoding_tpu.parallel.mesh import data_mesh
+
+    # single-process oracle on the in-test 8-device mesh
+    p = preset("SC_128")
+    step = make_frame_step(p, batch=32, mesh=data_mesh())
+    key = jax.random.PRNGKey(7)
+    sigma = 10.0 ** (-2.0 / 20.0)
+    want = []
+    for i in range(2):
+        eb, ebl, _ = step(key, jnp.int32(i * 32), sigma)
+        want.append([int(eb), int(ebl)])
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        out, err = pr.communicate(timeout=300)
+        assert pr.returncode == 0, f"worker failed:\n{out}\n{err}"
+        rec = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert rec, f"no RESULT line:\n{out}\n{err}"
+        outs.append(json.loads(rec[0][len("RESULT "):]))
+    assert outs[0]["counters"] == outs[1]["counters"], outs
+    assert outs[0]["counters"] == want, (outs[0]["counters"], want)

@@ -18,7 +18,7 @@ def test_step_counters_independent_of_batch_size():
     sigma = 10.0 ** (-2.0 / 20.0)
     s32 = make_frame_step(p, 32)
     s16 = make_frame_step(p, 16)
-    eb_a, ebl_a = s32(key, 0, sigma)
+    eb_a, ebl_a, _ = s32(key, 0, sigma)
     eb_b = int(s16(key, 0, sigma)[0]) + int(s16(key, 16, sigma)[0])
     ebl_b = int(s16(key, 0, sigma)[1]) + int(s16(key, 16, sigma)[1])
     assert int(eb_a) == eb_b
@@ -70,7 +70,7 @@ def test_cascl_step_compiles_and_counts():
     p = preset("CASCL_128_L8")
     key = jax.random.PRNGKey(5)
     step = make_frame_step(p, 16)
-    eb, ebl = step(key, 0, 10.0 ** (-1.0 / 20.0))
+    eb, ebl, ties = step(key, 0, 10.0 ** (-1.0 / 20.0))
     assert 0 <= int(ebl) <= 16
     assert int(eb) >= int(ebl)
 
@@ -99,3 +99,36 @@ def test_fused_sweep_matches_per_point_statistics():
     assert sum(r.frames for r in res) == 256
     # 1.0 dB is much noisier than 3.0 dB
     assert res[0].errblock > res[1].errblock
+
+
+def test_wave_engine_statistical_and_pure():
+    """Continuous-batching BP (run_point_waves): per-frame wave advance is
+    batch-invariant (the ADVICE round-1 determinism fix), and the sweep BLER
+    agrees statistically with the fixed-iteration engine."""
+    import jax.numpy as jnp
+    import numpy as np
+    from polardecoding_tpu.models.bp import bp_wave, wave_decide, wave_init_state
+    from polardecoding_tpu.parallel.harness import run_point_waves
+    from polardecoding_tpu.ops.channel import awgn_llr
+    from polardecoding_tpu.analysis.construction import code_frozen_mask
+
+    p = preset("BP_128")
+    frozen = jnp.asarray(code_frozen_mask(p.code))
+    rng = np.random.default_rng(11)
+    llr = jnp.asarray(rng.normal(size=(32, 128)) * 2.5, jnp.float32)
+    s32 = bp_wave(wave_init_state(llr, frozen), iters=8)
+    sa = bp_wave(wave_init_state(llr[:16], frozen), iters=8)
+    sb = bp_wave(wave_init_state(llr[16:], frozen), iters=8)
+    # state is stage-major [2(n+1), B, N]: batch is axis 1
+    assert np.array_equal(np.asarray(s32),
+                          np.asarray(jnp.concatenate([sa, sb], axis=1)))
+    u32, d32 = wave_decide(s32, frozen)
+    ua, da = wave_decide(sa, frozen)
+    assert np.array_equal(np.asarray(u32[:16]), np.asarray(ua))
+    assert np.array_equal(np.asarray(d32[:16]), np.asarray(da))
+
+    res = run_point_waves(p, 2.0, batch=128, wave_iters=8, error_blocks=40,
+                          max_frames=2048)
+    assert res.frames >= 128
+    # BP_128 @2.0 dB reference BLER ~0.113; generous 4-sigma band
+    assert 0.06 < res.bler < 0.19, res.bler

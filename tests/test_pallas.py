@@ -35,6 +35,42 @@ def test_scl_pallas_matches_jnp_interpret():
                                atol=1e-5)
 
 
+def test_scl_tree_kernel_matches_jnp_interpret():
+    """Subtree-hybrid SCL kernel vs the jnp engine, exercising sigma-managed
+    stages (n - 1 - S >= 1), the tie counter, and both frozen/info boundary
+    types.  Tiny config — interpreter mode is slow."""
+    from polardecoding_tpu.models.scl import scl_decode
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
+
+    N, K, L, B, S = 32, 20, 4, 8, 2
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(4)
+    llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
+    ua, pma, ta = scl_decode(llr, fr, list_size=L, return_all=True,
+                             return_ties=True)
+    ub, pmb, tb = scl_decode_tree(llr, fr, list_size=L, subtree=S, tile=8,
+                                  interpret=True)
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    np.testing.assert_allclose(np.asarray(pma), np.asarray(pmb), rtol=1e-5,
+                               atol=1e-5)
+    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
+def test_bp_wave_kernel_matches_jnp_interpret():
+    """State-I/O wave kernel vs the jnp wave advance."""
+    from polardecoding_tpu.models.bp import bp_wave_jnp, wave_init_state
+    from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_pallas
+
+    N, K = 32, 16
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(6)
+    llr = jnp.asarray(rng.normal(size=(8, N)).astype(np.float32) * 2)
+    st = wave_init_state(llr, fr)
+    a = np.asarray(bp_wave_jnp(st, iters=5))
+    b = np.asarray(bp_wave_pallas(st, iters=5, tile=8, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_bp_pallas_spa_flavor():
     N, K = 32, 16
     fr = jnp.asarray(frozen_mask(N, K))
