@@ -156,13 +156,21 @@ def bp_decode(
 
 
 def bp_decode_auto(ch_llr, frozen, iters=100, flavor="minsum_lut",
-                   early_stop_every=0):
+                   early_stop_every=0, engine="auto"):
     """Dispatch to the Pallas VMEM-resident kernel on TPU backends (2-3x the
     fused-jnp path at N=1024; see ops/pallas/bp_kernel.py), falling back to
-    the jnp engine elsewhere."""
+    the jnp engine elsewhere.  engine="jnp" forces the fused-jnp path (e.g.
+    for non-f32 message dtypes: Mosaic cannot lower dynamic_rotate on
+    sub-32-bit data, so the Pallas kernel is f32-only)."""
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu", "gpu")
     B = ch_llr.shape[0]
+    if engine == "jnp":
+        on_tpu = False
+    if on_tpu and ch_llr.dtype != jnp.float32:
+        raise ValueError(
+            "Pallas BP kernel is f32-only (Mosaic dynamic_rotate); "
+            "pass engine='jnp' for other message dtypes")
     if on_tpu and B % 8 == 0:
         from polardecoding_tpu.ops.pallas.bp_kernel import bp_decode_pallas
 

@@ -204,23 +204,32 @@ def _scl_tree_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     def inner_body(jj, k):
         j = jj + k * W
         t = _ntz32(j | N)
-        # ---- masked LLR pass, stages S-1 .. 0 only
+        # ---- masked LLR pass, stages S-1 .. 0 only.  All L paths are
+        # batched along the SUBLANE axis ([L*w, TB] per op): the per-path
+        # tiles here have w = 2^i < 8 sublanes for the low stages, so issuing
+        # the ~50-op chk once on the stacked tile instead of L times on
+        # sub-native tiles is what the VPU's issue rate actually sees
+        # (measured: the unbatched form capped the kernel at ~35 % of peak).
         for i in range(S - 1, -1, -1):
             w = 1 << i
             lo, hi = _slot(i)
             slo, shi = _slot(i + 1)
             use_g = t == i
             use_f = t > i
+            src = jnp.concatenate(
+                [llr[p][slo:shi, :] for p in range(L)], axis=0)
+            v = src.reshape(L, 2, w, TB)  # sublane split; lane dim untouched
+            up = v[:, 0].reshape(L * w, TB)
+            dn = v[:, 1].reshape(L * w, TB)
+            pb = jnp.concatenate(
+                [bits[p][lo:hi, :] for p in range(L)], axis=0)
+            old = jnp.concatenate(
+                [llr[p][lo:hi, :] for p in range(L)], axis=0)
+            g_new = dn + (1.0 - 2.0 * pb) * up
+            f_new = chk(up, dn)
+            out = jnp.where(use_g, g_new, jnp.where(use_f, f_new, old))
             for p in range(L):
-                src = llr[p][slo:shi, :]
-                up, dn = src[:w, :], src[w:, :]
-                pb = bits[p][lo:hi, :]
-                g_new = dn + (1.0 - 2.0 * pb) * up
-                f_new = chk(up, dn)
-                old = llr[p][lo:hi, :]
-                llr[p][lo:hi, :] = jnp.where(
-                    use_g, g_new, jnp.where(use_f, f_new, old)
-                )
+                llr[p][lo:hi, :] = out[p * w : (p + 1) * w, :]
 
         # ---- penalties + selection
         l0 = jnp.concatenate([llr[p][0:1, :] for p in range(L)], axis=0)
@@ -281,15 +290,24 @@ def _scl_tree_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         ub_ref[:] = jnp.where(is_frozen, jnp.zeros((L, TB), jnp.float32),
                               new_ub)
 
-        # ---- masked combine, stages < S only (boundary handles jj == W-1)
+        # ---- masked combine, stages < S only (boundary handles jj == W-1);
+        # same path-batched sublane layout as the LLR pass: v holds each
+        # path's partial codeword contiguously ([L*w, TB], path p at rows
+        # p*w..(p+1)*w), seeded by ub_ref whose [L, TB] layout is exactly the
+        # w=1 case.
         t1 = _ntz32(j + 1)
-        for p in range(L):
-            v = ub_ref[p : p + 1, :]
-            for i in range(S):
-                lo, hi = _slot(i)
-                old = bits[p][lo:hi, :]
-                bits[p][lo:hi, :] = jnp.where(t1 == i, v[: hi - lo, :], old)
-                v = jnp.concatenate([_fxor(old, v), v], axis=0)
+        v = ub_ref[:]
+        for i in range(S):
+            w = 1 << i
+            lo, hi = _slot(i)
+            old = jnp.concatenate(
+                [bits[p][lo:hi, :] for p in range(L)], axis=0)
+            upd = jnp.where(t1 == i, v, old)
+            for p in range(L):
+                bits[p][lo:hi, :] = upd[p * w : (p + 1) * w, :]
+            v = jnp.concatenate(
+                [_fxor(old, v).reshape(L, w, TB), v.reshape(L, w, TB)],
+                axis=1).reshape(L * 2 * w, TB)
         return k
 
     for k in range(M):

@@ -99,10 +99,15 @@ def payload_from_index(frame_index, pn, K: int):
     return pn[idx]
 
 
-def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
+def make_frame_step(preset: Preset, batch: int, mesh=None,
+                    llr_dtype=None, bp_engine="auto") -> Callable:
     """Build the jitted super-batch step: (key, frame_start, sigma) ->
     (errbit, errblock, pm_ties) int32 scalars summed over the batch
-    (pm_ties = frames with an SCL median PM tie; 0 for non-list decoders)."""
+    (pm_ties = frames with an SCL median PM tie; 0 for non-list decoders).
+
+    llr_dtype: optional message-state dtype for the decoder (e.g.
+    jnp.bfloat16); channel LLRs are cast once before decode.  Default None
+    keeps the f32 production path (results/REPRODUCTION.md precision study)."""
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
@@ -118,6 +123,7 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
             return bp_decode_auto(
                 llr, frozen, iters=dec.bp_iters, flavor=dec.bp_flavor,
                 early_stop_every=(4 if dec.bp_early_stop else 0),
+                engine=bp_engine,
             ), None
         if dec.kind == "sc":
             return sc_decode_auto(llr, frozen), None
@@ -145,6 +151,8 @@ def make_frame_step(preset: Preset, batch: int, mesh=None) -> Callable:
         x = polar_encode(u)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         llr = awgn_llr(x, keys, sigma)
+        if llr_dtype is not None:
+            llr = llr.astype(llr_dtype)
         u_hat, ties = decode(llr)
         bad = u_hat[:, I] != w
         errbit = jnp.sum(bad, dtype=jnp.int32)
@@ -366,6 +374,7 @@ def run_point_waves(
     error_blocks: Optional[int] = None,
     max_frames: Optional[int] = None,
     seed: Optional[int] = None,
+    start_state: Optional[PointResult] = None,
     log: Optional[Callable[[str], None]] = None,
 ) -> PointResult:
     """Adaptive MC at one SNR point on the continuous-batching BP engine."""
@@ -380,8 +389,8 @@ def run_point_waves(
     init, step, drain_step = make_wave_step(preset, batch, wave_iters, mesh)
     sigma = float(10.0 ** (-snr_db / 20.0))
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
-    res = PointResult(preset.name, snr_db, 0, 0, 0, seed)
-    carry = init(key, jnp.int32(0), sigma)
+    res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
+    carry = init(key, jnp.int32(res.frames), sigma)
     t0 = time.perf_counter()
     # Forcing the counters to host every step would serialize on the device
     # round-trip (through the axon tunnel that costs ~50 ms/step — 5x the
@@ -411,7 +420,7 @@ def run_point_waves(
         res.errblock += int(ebl)
         res.frames += int(fr)
         remaining = int(rem)
-    res.elapsed_s = time.perf_counter() - t0
+    res.elapsed_s += time.perf_counter() - t0
     return res
 
 
@@ -495,7 +504,21 @@ def run_point(
     log: Optional[Callable[[str], None]] = None,
 ) -> PointResult:
     """Adaptive-length MC for one SNR point: run super-batches until the
-    error-block target (ref stop rule, e.g. BP_128.c:168)."""
+    error-block target (ref stop rule, e.g. BP_128.c:168).
+
+    BP early-stop presets (decoder.bp_early_stop) are served by the
+    continuous-batching wave engine (run_point_waves): each frame retires at
+    its own convergence wave, so decisions are pure in (seed, frame index) —
+    the batch-global jnp.all early stop (bp_decode early_stop_every), whose
+    decisions depend on batch size, is reachable only via an explicit
+    step_fn."""
+    if (step_fn is None and preset.decoder.kind == "bp"
+            and preset.decoder.bp_early_stop):
+        return run_point_waves(
+            preset, snr_db, batch=batch, mesh=mesh,
+            error_blocks=error_blocks, max_frames=max_frames, seed=seed,
+            start_state=start_state, log=log,
+        )
     sweep = preset.sweep
     seed = sweep.seed if seed is None else seed
     target = sweep.error_blocks if error_blocks is None else error_blocks
@@ -585,7 +608,10 @@ def run_sweep(
         mesh = data_mesh()
     if batch is None:
         batch = round_up_batch(preset.sweep.batch_per_device * mesh.devices.size, mesh)
-    step_fn = make_frame_step(preset, batch, mesh)
+    # ES presets go through run_point's wave-engine dispatch (per-frame
+    # retirement); a shared batch-global step here would override it
+    wave_es = preset.decoder.kind == "bp" and preset.decoder.bp_early_stop
+    step_fn = None if wave_es else make_frame_step(preset, batch, mesh)
     points = preset.sweep.snr_points() if snr_points is None else list(snr_points)
 
     done: dict[float, PointResult] = {}

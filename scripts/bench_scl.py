@@ -1,0 +1,61 @@
+"""SCL tree-kernel throughput across N and L on the real chip, kernel-only
+(decode of pre-generated channel LLRs) plus the full-MC-pipeline rate at the
+north-star config, with the host-forced-scalar sync discipline (bench.py).
+
+Usage: python scripts/bench_scl.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+from bench import bench_step
+from polardecoding_tpu.configs import preset
+from polardecoding_tpu.analysis.construction import code_frozen_mask
+from scl_parity_hw import channel_llrs
+
+
+def bench_kernel(ncode, L, batch, snr=1.5, iters=8, warmup=3):
+    p = preset(f"SCL_{ncode}_L8")
+    frozen = jnp.asarray(code_frozen_mask(p.code))
+    llr = channel_llrs(p, batch, snr)
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
+
+    f = jax.jit(lambda x: scl_decode_tree(x, frozen, list_size=L))
+    for _ in range(warmup):
+        int(f(llr)[1][0, 0] < 1e30)
+    t0 = time.perf_counter()
+    outs = [f(llr) for _ in range(iters)]
+    int(sum(jnp.sum(o[2]) for o in outs))
+    return (iters * batch) / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    grid = ([(128, 8, 1024), (1024, 8, 256)] if args.quick else
+            [(128, 8, 1024), (128, 16, 1024), (128, 32, 1024),
+             (1024, 1, 256), (1024, 8, 256), (1024, 16, 256), (1024, 32, 128)])
+    for ncode, L, batch in grid:
+        fps = bench_kernel(ncode, L, batch)
+        print(json.dumps({"N": ncode, "L": L, "batch": batch,
+                          "kernel_fps": round(fps, 1)}), flush=True)
+
+    full = bench_step("SCL_1024_L8", 1024, 2.0, iters=5, warmup=2)
+    print(json.dumps({"N": 1024, "L": 8, "batch": 1024,
+                      "full_mc_fps": round(full, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
