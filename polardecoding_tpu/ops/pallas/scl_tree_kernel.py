@@ -363,7 +363,13 @@ def scl_decode_tree(
     W = 1 << S
 
     fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
-    ch_t = ch_llr.T  # [N, B]
+    # Chunk the batch into a leading grid dim so the block's LANE dim equals
+    # the chunk array's full lane extent: Mosaic requires lane-dim blocks be
+    # 128-divisible or the whole dim, and the VMEM-driven tile shrinks below
+    # 128 at large L*N (N=1024 L=16 -> 64, L=32 -> 32).  CH[g, :, l] holds
+    # frame g*tile + l.
+    C = B // tile
+    ch_c = ch_llr.reshape(C, tile, N).transpose(0, 2, 1)  # [C, N, tile]
 
     kernel = functools.partial(
         _scl_tree_kernel, n=n, N=N, TB=tile, L=L, S=S,
@@ -380,23 +386,26 @@ def scl_decode_tree(
                llr_g, bits_g, sig_g, tmp_l, tmp_b, sig_t,
                scr[6 * L], scr[6 * L + 1], scr[6 * L + 2])
 
-    u_all_t, PM_t, ties_t = pl.pallas_call(
+    u_all_c, PM_c, ties_c = pl.pallas_call(
         wrapped,
-        grid=(B // tile,),
+        grid=(C,),
         in_specs=[
-            pl.BlockSpec((N, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda g: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((L, N, tile), lambda g: (0, 0, g),
+            pl.BlockSpec((None, L, N, tile), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((L, N, B), jnp.int8),
-            jax.ShapeDtypeStruct((L, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((C, L, N, tile), jnp.int8),
+            jax.ShapeDtypeStruct((C, L, tile), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, tile), jnp.int32),
         ),
         scratch_shapes=(
             [pltpu.VMEM((N, tile), jnp.float32) for _ in range(L)]    # llr
@@ -418,5 +427,8 @@ def scl_decode_tree(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ch_t, fr_row)
-    return jnp.transpose(u_all_t, (2, 0, 1)), PM_t.T, ties_t[0]
+    )(ch_c, fr_row)
+    u_all = jnp.transpose(u_all_c, (0, 3, 1, 2)).reshape(B, L, N)
+    PM = jnp.transpose(PM_c, (0, 2, 1)).reshape(B, L)
+    ties = jnp.transpose(ties_c, (0, 2, 1)).reshape(B)
+    return u_all, PM, ties

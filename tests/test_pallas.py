@@ -18,23 +18,6 @@ def test_bp_pallas_matches_jnp(N, K, iters):
     assert (a == b).all()
 
 
-def test_scl_pallas_matches_jnp_interpret():
-    """Whole-decode SCL kernel vs the jnp engine (tiny config: interpreter
-    mode emulates the kernel op-by-op and is slow)."""
-    from polardecoding_tpu.models.scl import scl_decode
-    from polardecoding_tpu.ops.pallas.scl_kernel import scl_decode_pallas
-
-    N, K, L, B = 8, 4, 2, 8
-    fr = jnp.asarray(frozen_mask(N, K))
-    rng = np.random.default_rng(2)
-    llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
-    ua, pma = scl_decode(llr, fr, list_size=L, return_all=True)
-    ub, pmb = scl_decode_pallas(llr, fr, list_size=L, interpret=True)
-    assert (np.asarray(ua) == np.asarray(ub)).all()
-    np.testing.assert_allclose(np.asarray(pma), np.asarray(pmb), rtol=1e-5,
-                               atol=1e-5)
-
-
 def test_scl_tree_kernel_matches_jnp_interpret():
     """Subtree-hybrid SCL kernel vs the jnp engine, exercising sigma-managed
     stages (n - 1 - S >= 1), the tie counter, and both frozen/info boundary
