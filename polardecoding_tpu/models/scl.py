@@ -141,18 +141,38 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
 
 
 def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
-    """The subtree-hybrid Pallas kernel (ops/pallas/scl_tree_kernel.py) wins
-    on TPU backends for every shipped config (measured on v5e: N=128 L=8
-    83k fps vs 6.4k jnp; N=1024 L=8 see README perf table).  Its lane-dim
-    blocking needs B to divide into the lane tile (<= 128, shrunk for big
-    L*N to fit VMEM — scl_tree_kernel._pick_tile)."""
+    """A subtree-hybrid Pallas kernel wins on TPU backends for every shipped
+    config (see README perf table).  Two generations serve different list-
+    size regimes (kernel docstrings explain why):
+      L <= 8:  per-path-refs kernel (ops/pallas/scl_subtree_kernel.py) —
+               fastest tiles, O(M L^2) trace; needs B % lane tile == 0.
+      L >= 16: paths-in-lanes kernel (ops/pallas/scl_tree_kernel.py) —
+               O(M L) trace keeps Mosaic compile times sane; needs
+               B % frames-per-tile == 0."""
     backend = jax.default_backend()
-    if backend in ("cpu", "gpu") or N < 32:
+    if backend in ("cpu", "gpu") or N < 32 or L > 128:
         return False
-    from polardecoding_tpu.ops.pallas.scl_tree_kernel import _pick_tile
+    if L <= 8:
+        from polardecoding_tpu.ops.pallas.scl_subtree_kernel import _pick_tile
 
-    tile = _pick_tile(N, L) if B > 128 else min(_pick_tile(N, L), B)
-    return B % tile == 0
+        tile = _pick_tile(N, L) if B > 128 else min(_pick_tile(N, L), B)
+        return B % tile == 0
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import frames_per_tile
+
+    return B % frames_per_tile(L, B) == 0
+
+
+def _scl_kernel(ch_llr, frozen, list_size):
+    """Dispatch to the list-size-appropriate kernel generation."""
+    if list_size <= 8:
+        from polardecoding_tpu.ops.pallas.scl_subtree_kernel import (
+            scl_decode_subtree,
+        )
+
+        return scl_decode_subtree(ch_llr, frozen, list_size=list_size)
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
+
+    return scl_decode_tree(ch_llr, frozen, list_size=list_size)
 
 
 def scl_decode_auto(ch_llr, frozen, list_size: int = 8,
@@ -160,9 +180,7 @@ def scl_decode_auto(ch_llr, frozen, list_size: int = 8,
     """Dispatch to the VMEM-resident subtree Pallas kernel where it wins."""
     B, N = ch_llr.shape
     if _pallas_ok(B, N, list_size):
-        from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
-
-        u_all, PM, ties = scl_decode_tree(ch_llr, frozen, list_size=list_size)
+        u_all, PM, ties = _scl_kernel(ch_llr, frozen, list_size)
         if return_all:
             return (u_all, PM, ties) if return_ties else (u_all, PM)
         best = jnp.argmin(PM, axis=-1)
@@ -177,9 +195,7 @@ def sc_decode_auto(ch_llr, frozen):
     by LLR sign, identical to SC)."""
     B, N = ch_llr.shape
     if _pallas_ok(B, N):
-        from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
-
-        u_all, _, _ = scl_decode_tree(ch_llr, frozen, list_size=1)
+        u_all, _, _ = _scl_kernel(ch_llr, frozen, 1)
         return u_all[:, 0]
     from polardecoding_tpu.models.sc import sc_decode
 

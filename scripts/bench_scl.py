@@ -28,9 +28,9 @@ def bench_kernel(ncode, L, batch, snr=1.5, iters=8, warmup=3):
     p = preset(f"SCL_{ncode}_L8")
     frozen = jnp.asarray(code_frozen_mask(p.code))
     llr = channel_llrs(p, batch, snr)
-    from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
+    from polardecoding_tpu.models.scl import _scl_kernel
 
-    f = jax.jit(lambda x: scl_decode_tree(x, frozen, list_size=L))
+    f = jax.jit(lambda x: _scl_kernel(x, frozen, L))
     for _ in range(warmup):
         int(f(llr)[1][0, 0] < 1e30)
     t0 = time.perf_counter()

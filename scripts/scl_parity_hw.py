@@ -53,10 +53,10 @@ def main():
         frozen = jnp.asarray(code_frozen_mask(p.code))
         llr = channel_llrs(p, args.frames, snr)
         for L in (8, 16, 32):
-            from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
+            from polardecoding_tpu.models.scl import _scl_kernel
 
             uk, pmk, _ = jax.jit(
-                lambda x: scl_decode_tree(x, frozen, list_size=L)
+                lambda x: _scl_kernel(x, frozen, L)
             )(llr)
             uj, pmj = jax.jit(
                 lambda x: scl_decode(x, frozen, list_size=L, return_all=True)

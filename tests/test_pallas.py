@@ -25,14 +25,35 @@ def test_scl_tree_kernel_matches_jnp_interpret():
     from polardecoding_tpu.models.scl import scl_decode
     from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
 
+    N, K, L, B, S = 32, 20, 4, 32, 2
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(4)
+    llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
+    ua, pma, ta = scl_decode(llr, fr, list_size=L, return_all=True,
+                             return_ties=True)
+    ub, pmb, tb = scl_decode_tree(llr, fr, list_size=L, subtree=S,
+                                  interpret=True)
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    np.testing.assert_allclose(np.asarray(pma), np.asarray(pmb), rtol=1e-5,
+                               atol=1e-5)
+    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
+def test_scl_subtree_kernel_matches_jnp_interpret():
+    """Per-path-refs SCL kernel (the L <= 8 engine) vs the jnp engine."""
+    from polardecoding_tpu.models.scl import scl_decode
+    from polardecoding_tpu.ops.pallas.scl_subtree_kernel import (
+        scl_decode_subtree,
+    )
+
     N, K, L, B, S = 32, 20, 4, 8, 2
     fr = jnp.asarray(frozen_mask(N, K))
     rng = np.random.default_rng(4)
     llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
     ua, pma, ta = scl_decode(llr, fr, list_size=L, return_all=True,
                              return_ties=True)
-    ub, pmb, tb = scl_decode_tree(llr, fr, list_size=L, subtree=S, tile=8,
-                                  interpret=True)
+    ub, pmb, tb = scl_decode_subtree(llr, fr, list_size=L, subtree=S, tile=8,
+                                     interpret=True)
     assert (np.asarray(ua) == np.asarray(ub)).all()
     np.testing.assert_allclose(np.asarray(pma), np.asarray(pmb), rtol=1e-5,
                                atol=1e-5)
