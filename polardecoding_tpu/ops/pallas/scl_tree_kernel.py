@@ -307,12 +307,15 @@ def _scl_tree_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         # ---- eager path copy of slots 0..S and the sigma maps: child q
         # reads parent[q]'s state, (q - parent[q]) mod L rolls away
         def gather_parent(x):
-            w = x.shape[0]
-            gat[:w, :, :] = jnp.zeros(x.shape, jnp.float32)
+            # value-chain accumulation: per-term ref round-trips through
+            # `gat` here cost 3x end-to-end (hot path, small [ER] tiles);
+            # the live-temp VMEM pressure gat exists for is a boundary-time
+            # (sig_read, [N/2] tiles) problem only
+            acc = jnp.zeros(x.shape, jnp.float32)
             for d in range(L):
                 mask = jnp.where(parent == pmd[d], 1.0, 0.0)
-                gat[:w, :, :] = gat[:w, :, :] + mask * roll(x, d)
-            return gat[:w, :, :]
+                acc = acc + mask * roll(x, d)
+            return acc
 
         if L > 1:
             el = llr[:ER, :, :]

@@ -31,11 +31,16 @@ def bench_kernel(ncode, L, batch, snr=1.5, iters=8, warmup=3):
     from polardecoding_tpu.models.scl import _scl_kernel
 
     f = jax.jit(lambda x: _scl_kernel(x, frozen, L))
+    # sync via plain device->host transfers ONLY: any eager op through the
+    # axon tunnel pays a fresh per-op remote compile (seconds to minutes)
+    import numpy as np
+
     for _ in range(warmup):
-        int(f(llr)[1][0, 0] < 1e30)
+        np.asarray(f(llr)[1])
     t0 = time.perf_counter()
-    outs = [f(llr) for _ in range(iters)]
-    int(sum(jnp.sum(o[2]) for o in outs))
+    outs = [f(llr)[1] for _ in range(iters)]
+    for o in outs:
+        np.asarray(o)
     return (iters * batch) / (time.perf_counter() - t0)
 
 
