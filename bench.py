@@ -94,11 +94,11 @@ def bench_waves(preset_name="BP_1024", batch=4096, snr_db=2.0, wave_iters=8,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bp-batch", type=int, default=8192)
-    ap.add_argument("--scl-batch", type=int, default=1024)
+    ap.add_argument("--scl-batch", type=int, default=4096)
     ap.add_argument("--wave-batch", type=int, default=4096)
     ap.add_argument("--snr", type=float, default=2.0)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--profile", nargs="?", const="/tmp/pd_trace", default=None)
     ap.add_argument("--skip-wave", action="store_true")
     args = ap.parse_args()
