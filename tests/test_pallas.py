@@ -75,6 +75,27 @@ def test_bp_wave_kernel_matches_jnp_interpret():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_scl_kernel_dispatch_regimes():
+    """models/scl.py routes L <= 8 to the per-path-refs kernel and L >= 16 to
+    the paths-in-lanes kernel, and the batch-divisibility gates match each
+    kernel's tiling (docs/ROOFLINE.md layout campaign)."""
+    from polardecoding_tpu.models.scl import _pallas_ok
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import frames_per_tile
+    from polardecoding_tpu.ops.pallas.scl_subtree_kernel import _pick_tile
+
+    # paths-in-lanes frames/tile: 8 sublane groups x 128/L lanes, shrunk
+    # only for small batches
+    assert frames_per_tile(16, 4096) == 64
+    assert frames_per_tile(32, 4096) == 32
+    assert frames_per_tile(32, 8) == 8  # fs shrinks until fs*F <= B
+    assert frames_per_tile(1, 1 << 20) == 1024
+    # per-path-refs lane tile shrinks as L*N grows
+    assert _pick_tile(128, 8) == 128
+    assert _pick_tile(1024, 8) == 128
+    # CPU backend (this suite) never takes a kernel
+    assert not _pallas_ok(4096, 1024, 8)
+
+
 def test_bp_pallas_spa_flavor():
     N, K = 32, 16
     fr = jnp.asarray(frozen_mask(N, K))
