@@ -57,8 +57,8 @@ def main():
         print(json.dumps({"N": ncode, "L": L, "batch": batch,
                           "kernel_fps": round(fps, 1)}), flush=True)
 
-    full = bench_step("SCL_1024_L8", 1024, 2.0, iters=5, warmup=2)
-    print(json.dumps({"N": 1024, "L": 8, "batch": 1024,
+    full = bench_step("SCL_1024_L8", 4096, 2.0, iters=8, warmup=3)
+    print(json.dumps({"N": 1024, "L": 8, "batch": 4096,
                       "full_mc_fps": round(full, 1)}), flush=True)
 
 
