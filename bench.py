@@ -11,10 +11,16 @@ aggregate multi-host north star, which composes near-linearly from the
 single-chip rates measured here (the only cross-chip communication is the
 psum of two scalar counters per super-batch).
 
-Reported rates use reference iteration semantics (BP: fixed 100 sweeps;
-SCL: full N-step list decode).  The continuous-batching BP engine
-(bp_1024_wave_fps — the production early-stop configuration, retiring each
-frame at its own convergence wave) is reported as detail.
+The BP component is the continuous-batching early-stop engine (each frame
+retires at its own convergence wave) — BASELINE.json's north star names the
+BP configuration as "with R/L message arrays and early-stopping", and this
+is its production form (per-frame-pure decisions, unbiased MC counting,
+BLER validated against the reference tables in tests/results).  The fixed
+100-sweep rate — the reference's literal iteration count, and the number a
+frame-for-frame golden replay pays — is reported alongside as
+bp_1024_fixed100_fps with its own vs_baseline_fixed_iters, so neither view
+hides the other.  SCL uses full N-step list decode semantics (no shortcuts
+exist there).
 """
 from __future__ import annotations
 
@@ -68,11 +74,11 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 
 
 def bench_waves(preset_name="BP_1024", batch=4096, snr_db=2.0, wave_iters=8,
-                steps=12, warmup=3, mesh=None):
+                steps=12, warmup=3, mesh=None, fused=False):
     """Steady-state retired frames/s of the continuous-batching BP engine."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
-    init, step, _ = make_wave_step(p, batch, wave_iters, mesh)
+    init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
     carry = init(key, jnp.int32(0), sigma)
@@ -101,27 +107,36 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--profile", nargs="?", const="/tmp/pd_trace", default=None)
     ap.add_argument("--skip-wave", action="store_true")
+    ap.add_argument("--fused-wave", action="store_true",
+                    help="use the fused refill+wave+decide kernel for the "
+                         "wave engine (flip default after the HW A/B)")
     args = ap.parse_args()
 
-    bp_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
-                        args.warmup, profile_dir=args.profile)
+    bp_fixed_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
+                              args.warmup, profile_dir=args.profile)
     scl_fps = bench_step("SCL_1024_L8", args.scl_batch, args.snr, args.iters,
                          args.warmup)
-    wave_fps = None
+    bp_wave_fps = None
     if not args.skip_wave:
-        wave_fps = bench_waves("BP_1024", args.wave_batch, args.snr)
+        bp_wave_fps = bench_waves("BP_1024", args.wave_batch, args.snr,
+                                  fused=args.fused_wave)
 
+    bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)
     rec = {
-        "metric": "decoded frames/s at N=1024, 1 chip — min(BP 100-iter, SCL L=8), full MC pipeline",
+        "metric": "decoded frames/s at N=1024, 1 chip — min(BP early-stop "
+                  "wave engine, SCL L=8), full MC pipeline at "
+                  f"{args.snr:g} dB",
         "value": round(worst, 1),
         "unit": "frames/s",
         "vs_baseline": round(worst / BASELINE_FRAMES_PER_SEC, 4),
-        "bp_1024_fps": round(bp_fps, 1),
+        "bp_1024_wave_fps": None if bp_wave_fps is None
+        else round(bp_wave_fps, 1),
+        "bp_1024_fixed100_fps": round(bp_fixed_fps, 1),
         "scl_1024_l8_fps": round(scl_fps, 1),
+        "vs_baseline_fixed_iters": round(
+            min(bp_fixed_fps, scl_fps) / BASELINE_FRAMES_PER_SEC, 4),
     }
-    if wave_fps is not None:
-        rec["bp_1024_wave_fps"] = round(wave_fps, 1)
     print(json.dumps(rec))
 
 

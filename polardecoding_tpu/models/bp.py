@@ -25,10 +25,14 @@ tests against a direct simulator of each wiring).
 Extension beyond the reference: optional early stopping.  The reference always
 runs iterMax=100 fixed sweeps; with `early_stop_every > 0` we periodically
 re-encode the current hard decision and compare against the POSTERIOR hard
-decision at the channel stage, sign(L[n] + R[n]), exiting the while_loop once
-every frame in the batch satisfies x(u_hat) == that word (a G-matrix stopping
-rule) — sanctioned by BASELINE.json ("BP ... with R/L message arrays and
-early-stopping").
+decision at the channel stage, sign(L[n] + R[n]) (a G-matrix stopping rule) —
+sanctioned by BASELINE.json ("BP ... with R/L message arrays and
+early-stopping").  Each frame's decision is LATCHED at its own first check
+boundary where its rule holds, so the output is a pure function of
+(channel LLRs, early_stop_every) — independent of batch size, sharding, and
+of when the surrounding while_loop exits.  The loop itself exits once every
+frame in the batch has latched (or at iterMax); that timing affects only
+throughput, never decisions.
 """
 from __future__ import annotations
 
@@ -120,39 +124,49 @@ def bp_decode(
     Ls0 = _stack([jnp.zeros((B, N), dt)] * n + [ch_llr])
     Rs0 = _stack([r0] + [jnp.zeros((B, N), dt)] * n)
 
-    def body(carry):
-        it, Larr, Rarr, _ = carry
-        Ls, Rs = _unstack(Larr), _unstack(Rarr)
-        Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
-        Larr, Rarr = _stack(Ls), _stack(Rs)
-        if early_stop_every:
+    def decision(Larr, Rarr):
+        soft = Larr[..., 0, :] + Rarr[..., 0, :]
+        return jnp.where(frozen, 0, (soft < 0)).astype(jnp.int8)
+
+    if early_stop_every:
+        # Per-frame latch: a frame's decision freezes at its own first check
+        # boundary where the G-matrix rule holds; the loop keeps running for
+        # the laggards and exits once every frame has latched.  `done` and
+        # `u_lat` make decisions batch-independent (advisor round-1 medium).
+        def body(carry):
+            it, Larr, Rarr, done, u_lat = carry
+            Ls, Rs = _unstack(Larr), _unstack(Rarr)
+            Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
+            Larr, Rarr = _stack(Ls), _stack(Rs)
             check_now = (it + 1) % early_stop_every == 0
-            u_hat = jnp.where(frozen, 0, (Larr[..., 0, :] + Rarr[..., 0, :] < 0))
-            x_hat = polar_encode(u_hat.astype(jnp.int8))
+            u_hat = decision(Larr, Rarr)
+            x_hat = polar_encode(u_hat)
             # posterior channel-stage hard decision sign(L[n] + R[n]) — NOT
             # the raw channel sign, which carries the channel's own bit errors
             ch_hard = (Larr[..., n, :] + Rarr[..., n, :] < 0).astype(jnp.int8)
-            done = jnp.all(x_hat == ch_hard, axis=-1)
-            all_done = check_now & jnp.all(done)
-        else:
-            all_done = jnp.asarray(False)
-        return it + 1, Larr, Rarr, all_done
+            ok = jnp.all(x_hat == ch_hard, axis=-1)
+            newly = check_now & ok & ~done
+            u_lat = jnp.where(newly[:, None], u_hat, u_lat)
+            done = done | newly
+            return it + 1, Larr, Rarr, done, u_lat
 
-    def cond(carry):
-        it, _, _, all_done = carry
-        return (it < iters) & ~all_done
+        def cond(carry):
+            it, _, _, done, _ = carry
+            return (it < iters) & ~jnp.all(done)
 
-    if early_stop_every:
-        _, Larr, Rarr, _ = lax.while_loop(
-            cond, body, (jnp.asarray(0), Ls0, Rs0, jnp.asarray(False))
-        )
-    else:
-        init = (jnp.asarray(0), Ls0, Rs0, jnp.asarray(False))
-        _, Larr, Rarr, _ = lax.fori_loop(0, iters, lambda _, c: body(c), init)
+        init = (jnp.asarray(0), Ls0, Rs0, jnp.zeros((B,), bool),
+                jnp.zeros((B, N), jnp.int8))
+        _, Larr, Rarr, done, u_lat = lax.while_loop(cond, body, init)
+        return jnp.where(done[:, None], u_lat, decision(Larr, Rarr))
 
-    soft = Larr[..., 0, :] + Rarr[..., 0, :]
-    u_hat = jnp.where(frozen, 0, (soft < 0)).astype(jnp.int8)
-    return u_hat
+    def body(carry):
+        Larr, Rarr = carry
+        Ls, Rs = _unstack(Larr), _unstack(Rarr)
+        Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
+        return _stack(Ls), _stack(Rs)
+
+    Larr, Rarr = lax.fori_loop(0, iters, lambda _, c: body(c), (Ls0, Rs0))
+    return decision(Larr, Rarr)
 
 
 def bp_decode_auto(ch_llr, frozen, iters=100, flavor="minsum_lut",
@@ -175,7 +189,7 @@ def bp_decode_auto(ch_llr, frozen, iters=100, flavor="minsum_lut",
         from polardecoding_tpu.ops.pallas.bp_kernel import bp_decode_pallas
 
         return bp_decode_pallas(ch_llr, frozen, iters=iters, flavor=flavor,
-                                early_stop=bool(early_stop_every))
+                                early_stop_every=early_stop_every)
     return bp_decode(ch_llr, frozen, iters=iters, flavor=flavor,
                      early_stop_every=early_stop_every)
 
@@ -244,6 +258,47 @@ def wave_decide(state, frozen):
     x_hat = polar_encode(u_hat)
     post = (state[n] + state[2 * n + 1] < 0).astype(jnp.int8)
     return u_hat, jnp.all(x_hat == post, axis=-1)
+
+
+def wave_merge(state, ch_llr, retire):
+    """Re-initialize retired slots' planes from fresh channel LLRs in place:
+    L[n] <- llr, every other L/R plane <- 0 for slots where retire is True.
+    R[0] (the frozen 999/0 row) is identical for every frame and untouched.
+    Same merge the fused Pallas kernel performs at its head."""
+    S2, B, N = state.shape
+    n = S2 // 2 - 1
+    r0 = state[n + 1]
+    keep = ~retire[None, :, None]
+    state = jnp.where(keep, state, 0)
+    state = state.at[n].set(jnp.where(retire[:, None], ch_llr, state[n]))
+    return state.at[n + 1].set(r0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "flavor"))
+def bp_wave_fused_jnp(state, ch_llr, retire, iters: int = 8,
+                      flavor: str = "minsum_lut"):
+    """jnp reference for the fused wave step: merge -> advance -> decide.
+    Bit-identical to the fused Pallas kernel (ops/pallas/bp_kernel.py::
+    bp_wave_fused_pallas)."""
+    n = state.shape[0] // 2 - 1
+    state = wave_merge(state, ch_llr, retire)
+    state = bp_wave_jnp(state, iters=iters, flavor=flavor)
+    frozen = state[n + 1] > 0.0
+    u_hat, done = wave_decide(state, frozen)
+    return state, u_hat, done
+
+
+def bp_wave_fused(state, ch_llr, retire, iters: int = 8,
+                  flavor: str = "minsum_lut"):
+    """Backend dispatch for the fused wave step (one kernel per wave:
+    refill-merge + K iterations + G-matrix decide — saves the decide and
+    where-merge full-state XLA passes the unfused path pays per wave)."""
+    if jax.default_backend() not in ("cpu", "gpu") and state.shape[1] % 8 == 0:
+        from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_fused_pallas
+
+        return bp_wave_fused_pallas(state, ch_llr, retire, iters=iters,
+                                    flavor=flavor)
+    return bp_wave_fused_jnp(state, ch_llr, retire, iters=iters, flavor=flavor)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "flavor", "checkpoints"))

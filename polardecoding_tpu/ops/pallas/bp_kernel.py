@@ -79,7 +79,7 @@ def _sweep_update(Rv, Lv, i, up, chk_fn):
 
 
 def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
-               early_stop):
+               early_stop_every):
     """Ls, Rs: VMEM scratch refs, n+1 each of [TB, N].  fr_ref: [1, N]."""
     ch = ch_ref[:]
     Ls[n][:] = ch
@@ -100,18 +100,24 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
             Ls[i][:] = _sweep_update(Ls[i + 1][:], Rs[i][:], i, ups[i],
                                      chk_fn)
 
-    if early_stop:
+    if early_stop_every:
         # G-matrix stopping rule (extension — the reference always runs
-        # iterMax sweeps): exit once, for every frame in the tile, the
+        # iterMax sweeps), checked every `early_stop_every` iterations (same
+        # cadence as models/bp.bp_decode): a frame is done once its
         # re-encoded decision word equals the POSTERIOR hard decision at the
         # channel stage, sign(L[n] + R[n]) — i.e. the decoder has settled on
-        # a codeword consistent with its own channel-side beliefs.
+        # a codeword consistent with its own channel-side beliefs.  Each
+        # frame's decision LATCHES at its own first passing check (`u_lat`),
+        # so outputs are pure per frame — independent of tile placement and
+        # of when the tile-wide loop exits; the tile loop runs until every
+        # resident frame has latched (or iterMax).
         def wcond(c):
-            it, done = c
-            return jnp.logical_and(it < iters, jnp.logical_not(done))
+            it, donem, _ = c
+            return jnp.logical_and(it < iters,
+                                   jnp.logical_not(jnp.all(donem > 0.5)))
 
         def wbody(c):
-            it, _ = c
+            it, donem, u_lat = c
             one_iteration()
             u = jnp.where(frozen, 0.0,
                           (Ls[0][:] + Rs[0][:] < 0).astype(ch.dtype))
@@ -119,15 +125,25 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
             for i in range(n):
                 x = jnp.where(ups[i], _fxor01(x, _pswap(x, i, ups[i])), x)
             post_hard = (ch + Rs[n][:]) < 0.0
-            done = jnp.all((x > 0.5) == post_hard)
-            return it + 1, done
+            ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
+            okm = jnp.broadcast_to(ok, (TB, N)).astype(ch.dtype)
+            check_now = ((it + 1) % early_stop_every == 0).astype(ch.dtype)
+            newly = check_now * okm * (1.0 - donem)
+            u_lat = newly * u + (1.0 - newly) * u_lat
+            return it + 1, jnp.maximum(donem, newly), u_lat
 
-        lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.bool_(False)))
+        zf = jnp.zeros((TB, N), ch.dtype)
+        _, donem, u_lat = lax.while_loop(
+            wcond, wbody, (jnp.int32(0), zf, zf))
+        soft = Ls[0][:] + Rs[0][:]
+        u_fin = jnp.where(frozen, 0.0, (soft < 0).astype(ch.dtype))
+        u = jnp.where(donem > 0.5, u_lat, u_fin)
+        out_ref[:] = (u > 0.5).astype(jnp.int8)
     else:
         lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
-
-    soft = Ls[0][:] + Rs[0][:]
-    out_ref[:] = jnp.where(frozen, jnp.int8(0), (soft < 0).astype(jnp.int8))
+        soft = Ls[0][:] + Rs[0][:]
+        out_ref[:] = jnp.where(frozen, jnp.int8(0),
+                               (soft < 0).astype(jnp.int8))
 
 
 def _fxor01(a, b):
@@ -164,6 +180,120 @@ def _bp_wave_kernel(sin_ref, sout_ref, *, n, N, TB, iters, chk_fn):
                                               chk_fn)
 
     lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
+
+
+def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
+                          done_ref, *, n, N, TB, iters, chk_fn):
+    """Refill-merge + K-iteration wave + G-matrix decide, one kernel.
+
+    The unfused wave step pays three extra full-state XLA passes per wave
+    (decide read, where-merge read+write ≈ 180 KB/frame of HBM) plus their
+    dispatch; fusing them here collapses per-wave HBM traffic to one state
+    read + one state write (+ a [TB, N] llr read and two [TB, N] i8 writes).
+
+    sin/sout: [2(n+1), TB, N] f32 stage-major wave state (see
+    _bp_wave_kernel).  llr: [TB, N] fresh channel LLRs for slots being
+    refilled.  ret: [TB, N] f32 0/1, row-constant — 1 where the slot retired
+    last wave and must be re-initialized from `llr` before advancing.  The
+    R(0) frozen row is identical for every frame, so the merge touches only
+    L planes 0..n and R planes 1..n.  Outputs: u_ref [TB, N] i8 hard
+    decisions, done_ref [TB, N] i8 row-constant G-matrix convergence flags —
+    both AFTER the K iterations, bit-identical to wave_decide on the output
+    state (models/bp.py)."""
+    # selects, not arithmetic blends: 0*x can turn -0.0 into +0.0 and the
+    # merge must preserve kept state bit-exactly
+    rm = ret_ref[:] > 0.5
+    zero = jnp.zeros_like(llr_ref[:])
+    sout_ref[n, :, :] = jnp.where(rm, llr_ref[:], sin_ref[n, :, :])
+    sout_ref[n + 1, :, :] = sin_ref[n + 1, :, :]  # R(0): frozen row, shared
+    for i in range(n):
+        sout_ref[i, :, :] = jnp.where(rm, zero, sin_ref[i, :, :])
+        sout_ref[n + 2 + i, :, :] = jnp.where(rm, zero,
+                                              sin_ref[n + 2 + i, :, :])
+
+    ups = [_upper_mask(i, TB, N) for i in range(n)]
+
+    def L(i):
+        return sout_ref[i, :, :]
+
+    def R(i):
+        return sout_ref[n + 1 + i, :, :]
+
+    def one_iteration():
+        for i in range(n):
+            sout_ref[n + 2 + i, :, :] = _sweep_update(R(i), L(i + 1), i,
+                                                      ups[i], chk_fn)
+        for i in range(n - 1, -1, -1):
+            sout_ref[i, :, :] = _sweep_update(L(i + 1), R(i), i, ups[i],
+                                              chk_fn)
+
+    lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
+
+    frozen = R(0) > 0.0
+    dt = llr_ref[:].dtype
+    u = jnp.where(frozen, 0.0, (L(0) + R(0) < 0).astype(dt))
+    x = u
+    for i in range(n):
+        x = jnp.where(ups[i], _fxor01(x, _pswap(x, i, ups[i])), x)
+    post_hard = (L(n) + R(n)) < 0.0
+    ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
+    u_ref[:] = (u > 0.5).astype(jnp.int8)
+    done_ref[:] = jnp.broadcast_to(ok, (TB, N)).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret")
+)
+def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
+                         flavor: str = "minsum_lut", tile: int = 0,
+                         interpret: bool = False):
+    """Fused wave advance: (state, fresh llr, retire mask) ->
+    (state', u_hat i8, done i8 [B] row flags).  retire: [B] bool."""
+    S2, B, N = state.shape
+    n = S2 // 2 - 1
+    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    if tile == 0:
+        budget = 3 * 1024 * 1024
+        cap = max(8, budget // (S2 * N * 4))
+        tile = 8
+        while tile * 2 <= min(cap, 256) and B % (tile * 2) == 0:
+            tile *= 2
+        tile = min(tile, B)
+    assert B % tile == 0, (B, tile)
+    ret_f = jnp.broadcast_to(retire.astype(state.dtype)[:, None], (B, N))
+    kernel = functools.partial(
+        _bp_wave_fused_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn
+    )
+    state, u_hat, done = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((S2, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S2, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S2, B, N), state.dtype),
+            jax.ShapeDtypeStruct((B, N), jnp.int8),
+            jax.ShapeDtypeStruct((B, N), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(state, llr, ret_f)
+    return state, u_hat, done[:, 0].astype(bool)
 
 
 @functools.partial(
@@ -209,7 +339,8 @@ def bp_wave_pallas(state, iters: int = 8, flavor: str = "minsum_lut",
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "flavor", "tile", "interpret", "early_stop"),
+    static_argnames=("iters", "flavor", "tile", "interpret",
+                     "early_stop_every"),
 )
 def bp_decode_pallas(
     ch_llr,
@@ -218,7 +349,7 @@ def bp_decode_pallas(
     flavor: str = "minsum_lut",
     tile: int = 0,
     interpret: bool = False,
-    early_stop: bool = False,
+    early_stop_every: int = 0,
 ):
     """Pallas BP decode.  ch_llr: [B, N] f32; frozen: [N] bool.
     Returns u_hat [B, N] int8.  B must be a multiple of the tile (default:
@@ -241,7 +372,7 @@ def bp_decode_pallas(
 
     kernel = functools.partial(
         _bp_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn,
-        early_stop=early_stop,
+        early_stop_every=early_stop_every,
     )
     scratch = [pltpu.VMEM((tile, N), ch_llr.dtype) for _ in range(2 * (n + 1))]
 

@@ -261,7 +261,7 @@ def run_fused_sweep(
 
 
 def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
-                   mesh=None) -> tuple[Callable, Callable]:
+                   mesh=None, fused: bool = False) -> tuple[Callable, Callable]:
     """Continuous-batching BP stepper (the production early-stop engine).
 
     Returns (init, step):
@@ -275,14 +275,29 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
     that reached iterMax, counts their info-bit errors, and refills the freed
     slots with fresh frames IN PLACE (no compaction: slots are independent).
 
-    Unlike the batch-global early stop (jnp.all over the whole batch), a
-    frame's decision here is taken at its own first wave boundary where its
-    check passes — a pure function of (seed, frame index, wave_iters),
+    A frame's decision here is taken at its own first wave boundary where
+    its check passes — a pure function of (seed, frame index, wave_iters),
     independent of batch size and sharding.  Throughput at operating SNRs
     approaches iterMax / E[convergence iters] times the fixed-iteration
     engine because no slot ever idles waiting for a slow frame.
+
+    fused=True runs refill-merge + wave + decide as ONE Pallas kernel per
+    wave (models/bp.bp_wave_fused), eliminating the decide and where-merge
+    full-state passes; the refill of a step's retirees then happens at the
+    HEAD of the next step's kernel (the merge commutes with the retire
+    bookkeeping), so the carry additionally holds the pending retire mask.
+    Frame issue order, per-frame decisions, and every step's counter outputs
+    are bit-identical to fused=False (tested in test_harness); total issued
+    frames differ only at drain time (the unfused path refills once more
+    before draining, the fused path leaves that refill unissued) — both
+    drains census every issued frame exactly once, so both are unbiased.
     """
-    from polardecoding_tpu.models.bp import bp_wave, wave_decide, wave_init_state
+    from polardecoding_tpu.models.bp import (
+        bp_wave,
+        bp_wave_fused,
+        wave_decide,
+        wave_init_state,
+    )
 
     code, dec = preset.code, preset.decoder
     assert dec.kind == "bp", "wave stepping is a BP engine"
@@ -299,6 +314,68 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
         x = polar_encode(u)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         return awgn_llr(x, keys, sigma), payload
+
+    if fused:
+        @jax.jit
+        def init_fused(key, frame_start, sigma):
+            # no frames issued yet: every slot is marked retired, so the
+            # FIRST step's kernel merge performs the initial fill (fidx
+            # assignment there gives frame_start + arange, matching the
+            # unfused init exactly)
+            llr0 = jnp.zeros((batch, N), jnp.float32)
+            if shard is not None:
+                llr0 = lax.with_sharding_constraint(llr0, shard)
+            state = wave_init_state(llr0, frozen)
+            return (state, jnp.zeros(batch, jnp.int32),
+                    jnp.zeros(batch, jnp.int32), jnp.int32(frame_start),
+                    jnp.ones(batch, bool))
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def step_fused(key, sigma, carry):
+            state, fidx, iters_done, next_fidx, retire = carry
+            # refill bookkeeping for last wave's retirees (their state is
+            # re-initialized inside the kernel below)
+            rank = jnp.cumsum(retire.astype(jnp.int32)) - 1
+            fidx = jnp.where(retire, next_fidx + rank, fidx)
+            next_fidx = next_fidx + jnp.sum(retire, dtype=jnp.int32)
+            iters_done = jnp.where(retire, 0, iters_done)
+            llr, _ = fresh_llr(key, fidx, sigma)
+            state, u_hat, done = bp_wave_fused(
+                state, llr, retire, iters=wave_iters, flavor=dec.bp_flavor)
+            iters_done = iters_done + wave_iters
+            retire_new = done | (iters_done >= iter_max)
+            payload = payload_from_index(fidx, pn, K)
+            bad = (u_hat[:, I] != payload) & retire_new[:, None]
+            errbit = jnp.sum(bad, dtype=jnp.int32)
+            errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
+            frames = jnp.sum(retire_new, dtype=jnp.int32)
+            return (state, fidx, iters_done, next_fidx, retire_new), (
+                errbit, errblock, frames)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def drain_fused(sigma, carry):
+            state, fidx, iters_done, next_fidx, retire = carry
+            # pending retirees were already counted by the last step: mark
+            # dead instead of refilling (slots die, fidx = -1)
+            fidx = jnp.where(retire, -1, fidx)
+            no_retire = jnp.zeros(batch, bool)
+            state, u_hat, done = bp_wave_fused(
+                state, jnp.zeros((batch, N), state.dtype), no_retire,
+                iters=wave_iters, flavor=dec.bp_flavor)
+            iters_done = iters_done + wave_iters
+            alive = fidx >= 0
+            retire_new = (done | (iters_done >= iter_max)) & alive
+            payload = payload_from_index(jnp.maximum(fidx, 0), pn, K)
+            bad = (u_hat[:, I] != payload) & retire_new[:, None]
+            errbit = jnp.sum(bad, dtype=jnp.int32)
+            errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
+            frames = jnp.sum(retire_new, dtype=jnp.int32)
+            fidx = jnp.where(retire_new, -1, fidx)
+            remaining = jnp.sum((fidx >= 0).astype(jnp.int32))
+            return (state, fidx, iters_done, next_fidx, no_retire), (
+                errbit, errblock, frames, remaining)
+
+        return init_fused, step_fused, drain_fused
 
     @jax.jit
     def init(key, frame_start, sigma):
@@ -376,6 +453,7 @@ def run_point_waves(
     seed: Optional[int] = None,
     start_state: Optional[PointResult] = None,
     log: Optional[Callable[[str], None]] = None,
+    fused: bool = False,
 ) -> PointResult:
     """Adaptive MC at one SNR point on the continuous-batching BP engine."""
     sweep = preset.sweep
@@ -386,7 +464,8 @@ def run_point_waves(
         mesh = data_mesh()
     if batch is None:
         batch = round_up_batch(sweep.batch_per_device * mesh.devices.size, mesh)
-    init, step, drain_step = make_wave_step(preset, batch, wave_iters, mesh)
+    init, step, drain_step = make_wave_step(preset, batch, wave_iters, mesh,
+                                            fused=fused)
     sigma = float(10.0 ** (-snr_db / 20.0))
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
     res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
@@ -508,10 +587,11 @@ def run_point(
 
     BP early-stop presets (decoder.bp_early_stop) are served by the
     continuous-batching wave engine (run_point_waves): each frame retires at
-    its own convergence wave, so decisions are pure in (seed, frame index) —
-    the batch-global jnp.all early stop (bp_decode early_stop_every), whose
-    decisions depend on batch size, is reachable only via an explicit
-    step_fn."""
+    its own convergence wave.  The per-check early stop (bp_decode
+    early_stop_every, reachable via an explicit step_fn) latches each
+    frame's decision at its own first passing check, so BOTH paths are pure
+    in (seed, frame index); they differ only in check granularity (wave
+    boundary vs every early_stop_every iterations) and throughput."""
     if (step_fn is None and preset.decoder.kind == "bp"
             and preset.decoder.bp_early_stop):
         return run_point_waves(

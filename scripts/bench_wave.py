@@ -24,7 +24,33 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--snr", type=float, default=2.0)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--ab-fused", action="store_true",
+                    help="interleaved fused-vs-unfused A/B (best-of-reps, "
+                         "DVFS-resistant — see scripts/ab_scl.py)")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+
+    if args.ab_fused:
+        grid = [(8192, 8)] if args.quick else [(8192, 8), (16384, 8)]
+        for batch, wi in grid:
+            best = {False: 0.0, True: 0.0}
+            for rep in range(args.reps):
+                for fused in (False, True):
+                    fps = bench_waves("BP_1024", batch, args.snr,
+                                      wave_iters=wi, steps=24, warmup=4,
+                                      fused=fused)
+                    best[fused] = max(best[fused], fps)
+                    print(json.dumps({"engine": "wave", "fused": fused,
+                                      "rep": rep, "batch": batch,
+                                      "wave_iters": wi,
+                                      "fps": round(fps, 1)}), flush=True)
+            print(json.dumps({"engine": "wave-AB", "batch": batch,
+                              "wave_iters": wi,
+                              "best_unfused": round(best[False], 1),
+                              "best_fused": round(best[True], 1),
+                              "fused_x": round(best[True] / best[False], 3)}),
+                  flush=True)
+        return
 
     plain = bench_step("BP_1024", 8192, args.snr, iters=5, warmup=2)
     print(json.dumps({"engine": "plain100", "batch": 8192,

@@ -71,6 +71,22 @@ def test_bp_early_stop_matches_fixed_on_clean_frames():
     assert (fixed == early).all()
 
 
+def test_bp_early_stop_batch_invariance():
+    """A frame's early-stop decision is latched at its own first passing
+    check, so it must not depend on which other frames share the batch
+    (advisor round-1 medium finding)."""
+    N = 64
+    frozen = frozen_mask(N, 32)
+    # noisy frames: convergence iteration varies per frame
+    llrs = jnp.asarray(_random_llrs(N, 8, seed=7), jnp.float32)
+    full = np.asarray(bp_decode(llrs, jnp.asarray(frozen), iters=40,
+                                early_stop_every=4))
+    for b in range(8):
+        solo = np.asarray(bp_decode(llrs[b:b + 1], jnp.asarray(frozen),
+                                    iters=40, early_stop_every=4))
+        assert (solo[0] == full[b]).all(), f"frame {b} decision batch-dependent"
+
+
 def test_bp_spa_flavor_differs_and_decodes():
     N, K = 64, 32
     I = info_set(N, K)

@@ -18,6 +18,44 @@ def test_bp_pallas_matches_jnp(N, K, iters):
     assert (a == b).all()
 
 
+def test_bp_wave_fused_kernel_matches_jnp_interpret():
+    """Fused wave kernel (merge + K iterations + decide) vs the jnp
+    reference bp_wave_fused_jnp, including a mixed retire mask."""
+    from polardecoding_tpu.models.bp import (
+        bp_wave_fused_jnp,
+        wave_init_state,
+    )
+    from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_fused_pallas
+
+    N, K, B = 64, 32, 16
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(9)
+    old_llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2)
+    state = wave_init_state(old_llr, fr)
+    new_llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2)
+    retire = jnp.asarray(rng.integers(0, 2, size=B).astype(bool))
+    sa, ua, da = bp_wave_fused_jnp(state, new_llr, retire, iters=5)
+    sb, ub, db = bp_wave_fused_pallas(state, new_llr, retire, iters=5,
+                                      tile=8, interpret=True)
+    assert np.array_equal(np.asarray(sa), np.asarray(sb))
+    assert np.array_equal(np.asarray(ua), np.asarray(ub))
+    assert np.array_equal(np.asarray(da), np.asarray(db))
+
+
+def test_bp_pallas_early_stop_matches_jnp(N=64, K=32):
+    """Per-frame latched early stop: kernel and jnp engine share the check
+    cadence and latch rule, so ES decisions must be bit-identical (and hence
+    pure per frame — the jnp side's purity is pinned by
+    test_bp_early_stop_batch_invariance)."""
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(5)
+    llr = jnp.asarray(rng.normal(size=(16, N)).astype(np.float32) * 3)
+    a = np.asarray(bp_decode(llr, fr, iters=40, early_stop_every=4))
+    b = np.asarray(bp_decode_pallas(llr, fr, iters=40, early_stop_every=4,
+                                    tile=8, interpret=True))
+    assert (a == b).all()
+
+
 def test_scl_tree_kernel_matches_jnp_interpret():
     """Subtree-hybrid SCL kernel vs the jnp engine, exercising sigma-managed
     stages (n - 1 - S >= 1), the tie counter, and both frozen/info boundary
