@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from polardecoding_tpu.ops.chk import chk, chk_exact
+from polardecoding_tpu.ops.chk import chk, chk_exact, chk_fast
 from polardecoding_tpu.ops.encode import polar_encode
 
 FROZEN_R = 999.0  # the reference's frozen-bit "infinity" (BP_128.c:351)
@@ -114,7 +114,8 @@ def bp_decode(
     ch_llr: [B, N] channel LLRs (2y/sigma^2); frozen: [N] bool.
     Returns u_hat [B, N] int8 (frozen positions forced 0).
     """
-    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     B, N = ch_llr.shape
     n = N.bit_length() - 1
     dt = ch_llr.dtype
@@ -225,7 +226,8 @@ def wave_init_state(ch_llr, frozen):
 @functools.partial(jax.jit, static_argnames=("iters", "flavor"))
 def bp_wave_jnp(state, iters: int = 8, flavor: str = "minsum_lut"):
     """Advance packed state by `iters` BP iterations (jnp fallback)."""
-    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     S2 = state.shape[0]
     n = S2 // 2 - 1
 
@@ -318,7 +320,8 @@ def bpr_decode(
     Returns (u_hat [B, N], stage_errors [num_checkpoints, n+1] summed over the
     batch — the reference's E table before division by run count).
     """
-    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     B, N = ch_llr.shape
     n = N.bit_length() - 1
     dt = ch_llr.dtype

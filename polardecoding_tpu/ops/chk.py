@@ -52,6 +52,23 @@ def chk(a, b):
     return s * m + delta
 
 
+def chk_fast(a, b):
+    """Algebraic rewrite of `chk` with ~12% fewer VPU ops:
+
+        sign(a) sign(b) min(|a|, |b|) == (|a+b| - |a-b|) / 2   (exact in R)
+
+    so  chk(a, b) == 0.5 (|a+b| - |a-b|) + delta(|a+b|) - delta(|a-b|),
+    reusing the |a+b| / |a-b| terms the LUT already needs and dropping the
+    sign/min/abs(a)/abs(b) chain entirely (docs/ROOFLINE.md "where the
+    remaining ops go").  NOT bit-identical to the reference: the halved
+    difference rounds differently than the exact sign·min (ulp-level), so
+    this is an opt-in flavor ("minsum_lut_fast") gated on the statistical
+    BLER study, never the golden-parity default."""
+    ap = jnp.abs(a + b)
+    aq = jnp.abs(a - b)
+    return 0.5 * (ap - aq) + (lut_correction(ap) - lut_correction(aq))
+
+
 def chk_exact(a, b):
     """Exact sum-product box-plus 2 atanh(tanh(a/2) tanh(b/2)) — the "SPA"
     variant archived in myResult_128.zip:BP128out_SPA.txt.  Computed in the

@@ -31,7 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from polardecoding_tpu.ops.chk import chk, chk_exact
+from polardecoding_tpu.ops.chk import chk, chk_exact, chk_fast
 
 
 def _upper_mask(i, TB, N):
@@ -251,7 +251,8 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
     (state', u_hat i8, done i8 [B] row flags).  retire: [B] bool."""
     S2, B, N = state.shape
     n = S2 // 2 - 1
-    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     if tile == 0:
         budget = 3 * 1024 * 1024
         cap = max(8, budget // (S2 * N * 4))
@@ -306,7 +307,8 @@ def bp_wave_pallas(state, iters: int = 8, flavor: str = "minsum_lut",
     (BP_128.c:355-377 sweep order)."""
     S2, B, N = state.shape
     n = S2 // 2 - 1
-    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     if tile == 0:
         # in + out blocks both live in VMEM (plus pipeline double-buffering):
         # keep 4 x S2 x tile x N f32 within ~12 MB
@@ -356,7 +358,8 @@ def bp_decode_pallas(
     auto-pick to fit ~2 x (n+1) x TB x N f32 of scratch in VMEM)."""
     B, N = ch_llr.shape
     n = N.bit_length() - 1
-    chk_fn = {"minsum_lut": chk, "spa": chk_exact}[flavor]
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     if tile == 0:
         # 2 scratch arrays of (n+1) x TB x N f32 within ~8 MB; pick the
         # largest power-of-two divisor of B that fits (>= 8 sublanes)

