@@ -357,6 +357,19 @@ def frames_per_tile(L: int, B: int = 1 << 30) -> int:
     return fs * F
 
 
+def default_subtree(n: int, L: int) -> int:
+    """Tuned subtree depth S (window W = 2^S) per list size.
+
+    Measured on v5e at N=1024, B=1024 kernel-only (paths-in-lanes layout):
+    L=8: S=4 23.8k / S=5 32.6k / S=6 18.1k fps; L=16: S=4 8.6k / S=5 11.6k;
+    L=32: S=2 10.5k / S=3 8.4k / S=4 6.0k / S=5 3.5k / S=6 1.8k — the
+    eager-copy cost (O(L) roll-accumulates over 2W-1 rows per info bit)
+    makes SMALL subtrees win at large L.  Compile time grows with the
+    subtree count M (traced ops O(M L)): L=32 S=2 ~10 min — acceptable for
+    the L=32 archive configs."""
+    return min(5 if L <= 16 else 2, n - 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("list_size", "subtree", "interpret")
 )
@@ -375,12 +388,7 @@ def scl_decode_tree(
     n = N.bit_length() - 1
     L = list_size
     assert L <= LANES and LANES % L == 0, L
-    if subtree == 0:
-        # measured on v5e at N=1024 L=8 (paths-in-lanes layout): S=4 23.8k,
-        # S=5 32.6k, S=6 18.1k fps; S=6 at L=32 additionally bounds the
-        # traced-program size (compile time) by halving the subtree count M
-        subtree = min(5 if L <= 16 else 6, n - 2)
-    S = subtree
+    S = subtree or default_subtree(n, L)
     assert 1 <= S <= n - 1, (S, n)
     F = LANES // L
     fpt = frames_per_tile(L, B)

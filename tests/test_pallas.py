@@ -132,6 +132,15 @@ def test_scl_kernel_dispatch_regimes():
     assert _pick_tile(1024, 8) == 128
     # CPU backend (this suite) never takes a kernel
     assert not _pallas_ok(4096, 1024, 8)
+    # tuned subtree depths (v5e measurements in default_subtree docstring):
+    # the eager-copy cost makes small windows win at L=32
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import default_subtree
+
+    assert default_subtree(10, 8) == 5
+    assert default_subtree(10, 16) == 5
+    assert default_subtree(10, 32) == 2
+    assert default_subtree(7, 8) == 5  # N=128: capped at n-2
+    assert default_subtree(5, 32) == 2
 
 
 def test_bp_pallas_spa_flavor():
