@@ -99,7 +99,7 @@ def _unstack(arr):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "flavor", "early_stop_every", "num_info")
+    jax.jit, static_argnames=("iters", "flavor", "early_stop_every")
 )
 def bp_decode(
     ch_llr,
@@ -107,7 +107,6 @@ def bp_decode(
     iters: int = 100,
     flavor: str = "minsum_lut",
     early_stop_every: int = 0,
-    num_info: int = 0,
 ):
     """Decode a batch of frames.
 

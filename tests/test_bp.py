@@ -66,7 +66,7 @@ def test_bp_early_stop_matches_fixed_on_clean_frames():
     llr = jnp.asarray(8.0 * (1.0 - 2.0 * np.asarray(x, np.float64)), jnp.float32)
     fixed = np.asarray(bp_decode(llr, jnp.asarray(frozen), iters=100))
     early = np.asarray(
-        bp_decode(llr, jnp.asarray(frozen), iters=100, early_stop_every=1, num_info=K)
+        bp_decode(llr, jnp.asarray(frozen), iters=100, early_stop_every=1)
     )
     assert (fixed == early).all()
 
