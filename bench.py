@@ -85,7 +85,8 @@ def bench_waves(preset_name="BP_1024", batch=4096, snr_db=2.0, wave_iters=8,
     last = None
     for _ in range(warmup):
         carry, last = step(key, sigma, carry)
-    int(last[2])  # host-forced sync: warmup complete
+    if last is not None:
+        int(last[2])  # host-forced sync: warmup complete
     t0 = time.perf_counter()
     frs = []
     for _ in range(steps):

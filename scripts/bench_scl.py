@@ -60,6 +60,12 @@ def main():
     full = bench_step("SCL_1024_L8", 4096, 2.0, iters=8, warmup=3)
     print(json.dumps({"N": 1024, "L": 8, "batch": 4096,
                       "full_mc_fps": round(full, 1)}), flush=True)
+    if not args.quick:
+        # the L=32 flagship preset through the full pipeline (lane kernel,
+        # S=2 default — compile ~10 min first time, then cached)
+        full32 = bench_step("CASCL_1024_L32", 512, 2.0, iters=4, warmup=2)
+        print(json.dumps({"preset": "CASCL_1024_L32", "batch": 512,
+                          "full_mc_fps": round(full32, 1)}), flush=True)
 
 
 if __name__ == "__main__":
