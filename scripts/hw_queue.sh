@@ -31,4 +31,6 @@ run 6 1200 python bench.py
 run 7 3600 python scripts/bench_scl.py
 # headline probe: is SCL (the current min) faster at batch 8192?
 run 8 1200 python bench.py --scl-batch 8192 --skip-wave
+# never-measured S in {2,3} for the per-path kernel (binding headline)
+run 9 2400 python scripts/ab_subtree_depth.py
 echo "QUEUE DONE $(date)" | tee -a $LOG/summary.txt
