@@ -113,6 +113,27 @@ def test_bp_wave_kernel_matches_jnp_interpret():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_scl_tree_kernel_l32_lane_packing_interpret():
+    """L=32 packs F = 128/L = 4 frames per lane group (vs 32 at the L=4
+    config above) — exercise the dense lane-packing geometry and the S=2
+    production default for L=32 end-to-end (~35 s interpreter time)."""
+    from polardecoding_tpu.models.scl import scl_decode
+    from polardecoding_tpu.ops.pallas.scl_tree_kernel import scl_decode_tree
+
+    N, K, L, B, S = 32, 20, 32, 16, 2
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(4)
+    llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
+    ua, pma, ta = scl_decode(llr, fr, list_size=L, return_all=True,
+                             return_ties=True)
+    ub, pmb, tb = scl_decode_tree(llr, fr, list_size=L, subtree=S,
+                                  interpret=True)
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    np.testing.assert_allclose(np.asarray(pma), np.asarray(pmb), rtol=1e-5,
+                               atol=1e-5)
+    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
 def test_scl_kernel_dispatch_regimes():
     """models/scl.py routes L <= 8 to the per-path-refs kernel and L >= 16 to
     the paths-in-lanes kernel, and the batch-divisibility gates match each
