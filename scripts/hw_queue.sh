@@ -22,7 +22,9 @@ run() {  # run <n> <timeout_s> <cmd...>
   tail -5 "$LOG/step$n.log"
 }
 
-run 1 3600 python scripts/scl_parity_hw.py --frames 256
+# default --frames 512 matches the r2 parity runs' shapes (compile cache
+# hits for every config except the reworked L=32 S=2 kernel)
+run 1 3600 python scripts/scl_parity_hw.py
 run 2 1800 python scripts/es_sanity_hw.py
 run 3 1800 python scripts/bench_wave.py --ab-fused
 run 4 3000 python scripts/ab_chkfast.py --perf --bler
