@@ -292,3 +292,31 @@ def test_golden_noise_shape_and_pairing():
     # deterministic given seed
     y2 = golden_noise(3, 2, 8, 0.5)
     assert (y == y2).all()
+
+
+def test_vectorized_uniform_stream_bit_exact():
+    """GF(2)-leapfrogged Ranq1 block reproduces the scalar global stream
+    bit-for-bit (incl. the wrap-mod-2^64 output multiply and the u64->f64
+    conversion; ref SC_128.c:235-250)."""
+    from polardecoding_tpu.utils.rng import ranq1_uniform_block
+
+    r = Ranq1(1024)
+    ref = np.array([r.uniform() for _ in range(3000)])
+    # lane width smaller than, equal to, and larger than the request
+    for lanes in (64, 512, 4096):
+        assert np.array_equal(ref, ranq1_uniform_block(1024, 3000, lanes))
+
+
+@pytest.mark.parametrize(
+    "seed,frames,n", [(1024, 40, 128), (771, 6, 1024), (3, 2, 7), (9, 1, 2)]
+)
+def test_vectorized_golden_noise_bit_exact(seed, frames, n):
+    """Oversample-and-compact Marsaglia matches the sequential rejection
+    loop sample-for-sample: every accepted (s<1) pair in uniform-stream
+    order IS the emitted Gaussian (ref SC_128.c:252-267), and every float
+    op keeps the scalar path's association (incl. libm log)."""
+    from polardecoding_tpu.utils.rng import golden_noise_scalar
+
+    a = golden_noise_scalar(seed, frames, n, 0.7)
+    b = golden_noise(seed, frames, n, 0.7)
+    assert np.array_equal(a, b)
