@@ -73,8 +73,8 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
     return (iters * batch) / dt
 
 
-def bench_waves(preset_name="BP_1024", batch=4096, snr_db=2.0, wave_iters=8,
-                steps=12, warmup=3, mesh=None, fused=False):
+def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
+                steps=12, warmup=3, mesh=None, fused=True):
     """Steady-state retired frames/s of the continuous-batching BP engine."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
@@ -101,16 +101,23 @@ def bench_waves(preset_name="BP_1024", batch=4096, snr_db=2.0, wave_iters=8,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bp-batch", type=int, default=8192)
-    ap.add_argument("--scl-batch", type=int, default=4096)
-    ap.add_argument("--wave-batch", type=int, default=4096)
+    # measured best batches (results/hw_queue_r2: step8 SCL 8192 = 126.8k vs
+    # 118.4k at 4096; step3 wave 16384 fused = 215k vs 210k at 8192)
+    ap.add_argument("--scl-batch", type=int, default=8192)
+    ap.add_argument("--wave-batch", type=int, default=16384)
     ap.add_argument("--snr", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--profile", nargs="?", const="/tmp/pd_trace", default=None)
     ap.add_argument("--skip-wave", action="store_true")
-    ap.add_argument("--fused-wave", action="store_true",
-                    help="use the fused refill+wave+decide kernel for the "
-                         "wave engine (flip default after the HW A/B)")
+    ap.add_argument("--unfused-wave", action="store_true",
+                    help="disable the fused refill+wave+decide kernel "
+                         "(default on: measured 1.12x, hw_queue_r2 step3)")
+    ap.add_argument("--wave-preset", default="BP_1024_FASTCHK",
+                    help="wave-engine preset; the default is the production "
+                         "chk_fast flavor (A/B: +6%% throughput, BLER clean "
+                         "at 1000 error blocks, hw_queue_r2 step4); pass "
+                         "BP_1024 for the exact-LUT golden-parity flavor")
     args = ap.parse_args()
 
     bp_fixed_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
@@ -119,8 +126,8 @@ def main():
                          args.warmup)
     bp_wave_fps = None
     if not args.skip_wave:
-        bp_wave_fps = bench_waves("BP_1024", args.wave_batch, args.snr,
-                                  fused=args.fused_wave)
+        bp_wave_fps = bench_waves(args.wave_preset, args.wave_batch, args.snr,
+                                  fused=not args.unfused_wave)
 
     bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)
@@ -133,6 +140,7 @@ def main():
         "vs_baseline": round(worst / BASELINE_FRAMES_PER_SEC, 4),
         "bp_1024_wave_fps": None if bp_wave_fps is None
         else round(bp_wave_fps, 1),
+        "wave_preset": None if bp_wave_fps is None else args.wave_preset,
         "bp_1024_fixed100_fps": round(bp_fixed_fps, 1),
         "scl_1024_l8_fps": round(scl_fps, 1),
         "vs_baseline_fixed_iters": round(

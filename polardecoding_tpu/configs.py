@@ -164,6 +164,29 @@ PRESETS = {
             SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
             "BASELINE.json 'BP_1024 with RGA/DEGA construction and early stopping'",
         ),
+        # Production-throughput flavors: identical configs with the algebraic
+        # chk rewrite (ops/chk.chk_fast, ulp-level non-identical to the
+        # reference).  Promoted to first-class presets after the HW A/B
+        # (results/hw_queue_r2/step4.log): +10.6% fixed-iteration / +6.1%
+        # wave-engine throughput, BLER statistically clean at 1000 error
+        # blocks at 4.0 dB for both N (ratio fast/default 0.998 @N=128,
+        # 0.991 @N=1024, both << the 3-sigma window) and at 2.0 dB
+        # (docs/ROOFLINE.md chk-fast section).  The exact-LUT presets above
+        # remain the golden-parity configurations.
+        _p(
+            "BP_128_FASTCHK",
+            CodeConfig(128, 64),
+            DecoderConfig("bp", bp_iters=100, bp_flavor="minsum_lut_fast"),
+            SweepConfig(1.0, 4.0, error_blocks=200, seed=1024),
+            "BP_128.c + chk_fast (throughput flavor, BLER-validated)",
+        ),
+        _p(
+            "BP_1024_FASTCHK",
+            CodeConfig(1024, 512),
+            DecoderConfig("bp", bp_iters=100, bp_flavor="minsum_lut_fast"),
+            SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
+            "BP_1024.c + chk_fast (throughput flavor, BLER-validated)",
+        ),
         _p(
             "BPr_128",
             CodeConfig(128, 64),

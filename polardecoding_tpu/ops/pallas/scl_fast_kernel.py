@@ -1,0 +1,579 @@
+"""Frozen-structure-specialized Pallas TPU kernel for whole-frame SCL decoding
+— the FOURTH generation ("fast-SSC-list schedule, exact semantics").
+
+The frozen mask is a COMPILE-TIME constant of every Monte-Carlo config, yet
+the earlier kernel generations read it from SMEM at runtime and executed the
+full per-bit machinery (masked LLR descent, 2L-candidate ranking, eager path
+copy, sigma scramble) predicated on it — Mosaic predication executes both
+sides, so frozen bits cost as much as info bits.  At rate 1/2 that is half
+the leaves.  This kernel instead SPECIALIZES the traced program on the mask
+(ref semantics unchanged: SCL_1024.c:546-680, :481-502 — the schedule is
+re-derived, the arithmetic is identical):
+
+  * The code tree is decomposed STATICALLY (Python recursion at trace time)
+    into three node kinds, exactly the classic fast-SSC node taxonomy but
+    with EXACT list semantics (no approximate rate-1/SPC shortcuts — those
+    change the survivor set; see tests/test_scl_fast.py parity suite):
+
+      - R0 (all-frozen, any width w): no forks, no serialization.  All
+        partial sums inside are zero, so every g-update degenerates to
+        `dn + up` and the w leaf LLRs come from ONE vectorized butterfly
+        descent (log w full-width stages) instead of w serial masked passes.
+        The leaves' PHI(l, 0) penalties are accumulated into the path metric
+        serially IN LEAF ORDER (f32 addition association matches the
+        reference's per-leaf updates bit-for-bit; the leaf values themselves
+        are the same f/g DAG nodes the serial schedule computes).
+      - REP (all-frozen except the LAST leaf, w >= 2): same vectorized
+        descent (every g above the last leaf still sees all-zero partial
+        sums), frozen-leaf penalties in leaf order, then ONE standard
+        2L-candidate fork on the last leaf.  Decision block = ub * ones(w)
+        (encode of [0..0,1] is all-ones).
+      - LOOP (width wloop, contains >= 1 info bit in general position):
+        the proven masked inner fori_loop of the third-generation kernel
+        (scl_tree_kernel.py), with the masked LLR pass covering only stages
+        < log2(wloop).  Nodes that are statically all-info skip the frozen
+        predication entirely (`has_frozen=False`).
+
+    Everything between the nodes — f/g chains, bit combines — is straight-
+    line code emitted by the recursion (this subsumes the third generation's
+    per-subtree boundary chains).
+
+  * Two static dataflow analyses shave the cross-path gathers:
+      - ZERO propagation: an R0 node's decision block is all-zero in every
+        physical lane, so its slot store, the parent's `(1-2 pb) up` factor,
+        the climb XOR, and the sigma-row maintenance are all elided.
+      - CLEAN (sigma-identity) tracking: a sigma-managed slot written in
+        logical order stays identity until the next fork; reads in that
+        window skip the L-term roll-mask gather and read the slot directly.
+
+Layout, selection semantics, tie counting, and the u = encode(x) epilogue
+are inherited verbatim from scl_tree_kernel.py (paths in lanes: lane =
+p*F + f, sublane group = frame group; see that module's docstring).  The
+traced program is O(#info_bits/wloop * L + #nodes) — at N=1024 L=8 rate 1/2
+about 2x the third generation's trace but with ~5x fewer executed VPU ops
+(docs/ROOFLINE.md has the op model).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polardecoding_tpu.ops.chk import chk, lut_correction
+
+BIG = 1e30
+LANES = 128
+FS = 8  # max sublane frame groups per tile
+
+
+def _ntz32(x):
+    v = ((x & -x) - 1).astype(jnp.uint32)
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return ((v * 0x01010101) >> 24).astype(jnp.int32)
+
+
+def _fxor(a, b):
+    """xor of 0/1 floats."""
+    return jnp.abs(a - b)
+
+
+def _encode_sub(x, n, fs):
+    """Lee butterfly (upper ^= lower) on [N, fs, 128] 0/1 floats along the
+    LEADING axis — the tiled (fs, 128) minor pair is untouched, so Mosaic
+    lowers the reshapes."""
+    N = x.shape[0]
+    for i in range(n):
+        d = 1 << i
+        v = x.reshape(N // (2 * d), 2, d, fs, LANES)
+        up = _fxor(v[:, 0], v[:, 1])
+        x = jnp.stack([up, v[:, 1]], axis=1).reshape(N, fs, LANES)
+    return x
+
+
+def _slot(i):
+    return (1 << i) - 1, (2 << i) - 1
+
+
+# --------------------------------------------------------------------------
+# Static schedule
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _Node:
+    kind: str  # "r0" | "rep" | "loop" | "branch"
+    stage: int
+    off: int  # leaf offset
+    has_frozen: bool = False  # loop only
+    left: Optional["_Node"] = None
+    right: Optional["_Node"] = None
+
+
+def decompose(frozen: Tuple[bool, ...], stage: int, off: int,
+              wloop: int) -> _Node:
+    """Static fast-SSC-style decomposition of the code tree on the frozen
+    mask.  Collapses maximal ALIGNED all-frozen (R0) and repetition (REP)
+    nodes; leaves every other fork-bearing region as width-`wloop` LOOP
+    nodes (SPC and mixed patterns keep the runtime frozen predicate)."""
+    w = 1 << stage
+    blk = frozen[off : off + w]
+    if all(blk):
+        return _Node("r0", stage, off)
+    if w >= 2 and all(blk[:-1]) and not blk[-1]:
+        return _Node("rep", stage, off)
+    if w <= wloop:
+        return _Node("loop", stage, off, has_frozen=any(blk))
+    h = w // 2
+    return _Node(
+        "branch", stage, off,
+        left=decompose(frozen, stage - 1, off, wloop),
+        right=decompose(frozen, stage - 1, off + h, wloop),
+    )
+
+
+def schedule_stats(frozen: Tuple[bool, ...], wloop: int = 4) -> dict:
+    """Node-count summary of the static schedule (docs + tests)."""
+    n = len(frozen).bit_length() - 1
+    counts = {"r0": 0, "rep": 0, "loop": 0, "branch": 0, "loop_frozen": 0}
+
+    def walk(nd):
+        counts[nd.kind] += 1
+        if nd.kind == "loop" and nd.has_frozen:
+            counts["loop_frozen"] += 1
+        if nd.kind == "branch":
+            walk(nd.left)
+            walk(nd.right)
+
+    walk(decompose(frozen, n, 0, wloop))
+    return counts
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+
+def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
+                     llr, bits, sig, gat, pm_ref, ub_ref, tie_ref,
+                     *, n, N, L, S, FS, frozen, wloop):
+    """Refs as scl_tree_kernel._scl_tree_kernel (same layout/scratch), except
+    the frozen mask is ALSO a static tuple: fr_ref (SMEM) is consulted only
+    inside mixed/SPC loop nodes."""
+    F = LANES // L
+    NS = n - 1 - S  # sigma-managed stages: S+1 .. n-1
+    SROWS = max(2 * NS, 1)
+    ER = 2 * (1 << S) - 1  # eager region: rows of slots 0..S
+    s0 = wloop.bit_length() - 1  # loop-node stage
+
+    def roll(x, d):
+        return pltpu.roll(x, d * F, axis=x.ndim - 1) if d else x
+
+    pidx = lax.broadcasted_iota(jnp.int32, (1, FS, LANES), 2) // F
+    pmd = [((pidx - d) % L).astype(jnp.float32) for d in range(L)]
+    pidxf = pmd[0]
+
+    llr[:] = jnp.zeros((N, FS, LANES), jnp.float32)
+    bits[:] = jnp.zeros((N, FS, LANES), jnp.float32)
+    sig[:] = jnp.broadcast_to(pidxf, (SROWS, FS, LANES))
+    pm_ref[:] = jnp.where(pidx == 0, 0.0, BIG)
+    ub_ref[:] = jnp.zeros((1, FS, LANES), jnp.float32)
+    tie_ref[:] = jnp.zeros((1, FS, LANES), jnp.float32)
+
+    # ---- static dataflow state (emission-time only) ----------------------
+    clean_llr = {i: False for i in range(S + 1, n)}  # sigma row == identity
+    clean_bits = {i: False for i in range(S + 1, n)}
+    zero_bits = {i: False for i in range(n)}  # slot all-zero in EVERY lane
+
+    def sigma_llr_row(i):
+        return i - (S + 1)
+
+    def sigma_bits_row(i):
+        return NS + i - (S + 1)
+
+    def sig_read(arr, srow, i):
+        """L-term roll-mask gather of slot(i) through sigma row `srow`,
+        accumulated through the gat scratch ref (scl_tree_kernel notes)."""
+        lo, hi = _slot(i)
+        w = hi - lo
+        sel = sig[srow : srow + 1, :, :]
+        src = arr[lo:hi, :, :]
+        gat[:w, :, :] = jnp.zeros((w, FS, LANES), jnp.float32)
+        for d in range(L):
+            mask = jnp.where(sel == pmd[d], 1.0, 0.0)
+            gat[:w, :, :] = gat[:w, :, :] + mask * roll(src, d)
+        return gat[:w, :, :]
+
+    def read_llr(i):
+        """Logical-order llr of stage i (i == n -> channel)."""
+        if i == n:
+            return ch_ref[:N]
+        lo, hi = _slot(i)
+        if i <= S or clean_llr[i]:
+            return llr[lo:hi, :, :]
+        return sig_read(llr, sigma_llr_row(i), i)
+
+    def read_bits(i):
+        lo, hi = _slot(i)
+        if i <= S or clean_bits[i]:
+            return bits[lo:hi, :, :]
+        return sig_read(bits, sigma_bits_row(i), i)
+
+    def write_llr(i, val):
+        lo, hi = _slot(i)
+        llr[lo:hi, :, :] = val
+        if i > S:
+            r = sigma_llr_row(i)
+            sig[r : r + 1, :, :] = pidxf
+            clean_llr[i] = True
+
+    def write_bits(i, val):
+        lo, hi = _slot(i)
+        bits[lo:hi, :, :] = val
+        zero_bits[i] = False
+        if i > S:
+            r = sigma_bits_row(i)
+            sig[r : r + 1, :, :] = pidxf
+            clean_bits[i] = True
+
+    def mark_forked():
+        for i in clean_llr:
+            clean_llr[i] = False
+        for i in clean_bits:
+            clean_bits[i] = False
+
+    # ---- shared fork machinery (identical semantics to scl_tree_kernel) --
+    def fork(l0, is_frozen):
+        """One 2L-candidate selection + path copy.  l0 [1, FS, LANES];
+        is_frozen is None (statically info) or a traced bool (loop nodes).
+        Leaves the chosen bit in ub_ref."""
+        absl = jnp.abs(l0)
+        base = lut_correction(absl)
+        pen0 = base + jnp.where(l0 < 0, absl, 0.0)
+        pen1 = base + jnp.where(l0 > 0, absl, 0.0)
+        pm = pm_ref[:]
+
+        cand0 = pm + pen0
+        cand1 = pm + pen1
+        rank0 = jnp.zeros((1, FS, LANES), jnp.int32)
+        rank1 = jnp.zeros((1, FS, LANES), jnp.int32)
+        for d in range(L):
+            r0, r1 = roll(cand0, d), roll(cand1, d)
+            silt = pmd[d] < pidxf
+            rank0 = (rank0 + ((r0 < cand0) | ((r0 == cand0) & silt))
+                     + (r1 < cand0))
+            rank1 = (rank1 + ((r0 < cand1) | (r0 == cand1))
+                     + ((r1 < cand1) | ((r1 == cand1) & silt)))
+
+        new_pm = jnp.zeros((1, FS, LANES), jnp.float32)
+        new_ub = jnp.zeros((1, FS, LANES), jnp.float32)
+        parent = jnp.zeros((1, FS, LANES), jnp.float32)
+        vLm1 = jnp.zeros((1, FS, LANES), jnp.float32)
+        vL = jnp.zeros((1, FS, LANES), jnp.float32)
+        for d in range(L):
+            rr0, rc0 = roll(rank0, d), roll(cand0, d)
+            rr1, rc1 = roll(rank1, d), roll(cand1, d)
+            m0 = jnp.where(rr0 == pidx, 1.0, 0.0)
+            m1 = jnp.where(rr1 == pidx, 1.0, 0.0)
+            new_pm = new_pm + m0 * rc0 + m1 * rc1
+            new_ub = new_ub + m1
+            parent = parent + (m0 + m1) * pmd[d]
+            if L > 1:
+                vLm1 = (vLm1 + jnp.where(rr0 == L - 1, rc0, 0.0)
+                        + jnp.where(rr1 == L - 1, rc1, 0.0))
+                vL = (vL + jnp.where(rr0 == L, rc0, 0.0)
+                      + jnp.where(rr1 == L, rc1, 0.0))
+
+        if L > 1:
+            tie = jnp.logical_and(vLm1 == vL, vL < BIG / 2)
+            if is_frozen is not None:
+                tie = jnp.logical_and(tie, jnp.logical_not(is_frozen))
+            tie_ref[:] = tie_ref[:] + tie.astype(jnp.float32)
+
+        def gather_parent(x):
+            acc = jnp.zeros(x.shape, jnp.float32)
+            for d in range(L):
+                mask = jnp.where(parent == pmd[d], 1.0, 0.0)
+                acc = acc + mask * roll(x, d)
+            return acc
+
+        if L > 1:
+            el = llr[:ER, :, :]
+            eb = bits[:ER, :, :]
+            sg = sig[:]
+            if is_frozen is None:
+                llr[:ER, :, :] = gather_parent(el)
+                bits[:ER, :, :] = gather_parent(eb)
+                sig[:] = gather_parent(sg)
+            else:
+                llr[:ER, :, :] = jnp.where(is_frozen, el, gather_parent(el))
+                bits[:ER, :, :] = jnp.where(is_frozen, eb, gather_parent(eb))
+                sig[:] = jnp.where(is_frozen, sg, gather_parent(sg))
+
+        if is_frozen is None:
+            pm_ref[:] = new_pm
+            ub_ref[:] = new_ub
+        else:
+            pm_ref[:] = jnp.where(is_frozen, pm + pen0, new_pm)
+            ub_ref[:] = jnp.where(is_frozen, jnp.zeros_like(new_ub), new_ub)
+        mark_forked()
+
+    # ---- collapsed-node helpers ------------------------------------------
+    def descend(x, s):
+        """Vectorized all-zero-partial-sum descent: stage-s llr block x
+        [2^s, FS, LANES] -> leaf LLRs in natural leaf order.  Each level
+        emits [chk(up, dn); dn + up] per block — the exact f/g values the
+        serial schedule computes when every partner bit is 0."""
+        w = 1 << s
+        for k in range(s):
+            c = 1 << k
+            h = w >> (k + 1)
+            v = x.reshape(c, 2, h, FS, LANES)
+            up, dn = v[:, 0], v[:, 1]
+            x = jnp.stack([chk(up, dn), dn + up], axis=1).reshape(
+                w, FS, LANES)
+        return x
+
+    def add_pen0_serial(leaves, count):
+        """PM += PHI(l_j, 0) for leaves 0..count-1, accumulated IN LEAF ORDER
+        (the reference's per-leaf f32 association, SCL_1024.c:663-666)."""
+        absl = jnp.abs(leaves)
+        pen0 = lut_correction(absl) + jnp.where(leaves < 0, absl, 0.0)
+        pm = pm_ref[:]
+        for j in range(count):
+            pm = pm + pen0[j : j + 1, :, :]
+        pm_ref[:] = pm
+
+    # ---- loop node (third-generation masked inner body) -------------------
+    def run_loop(nd):
+        w = 1 << nd.stage
+        off = nd.off
+        has_frozen = nd.has_frozen
+
+        def inner_body(jj, carry):
+            t = _ntz32(jj | w)
+            for i in range(nd.stage - 1, -1, -1):
+                wi = 1 << i
+                lo, hi = _slot(i)
+                slo, shi = _slot(i + 1)
+                use_g = t == i
+                use_f = t > i
+                src = llr[slo:shi, :, :]
+                up, dn = src[:wi], src[wi:]
+                pb = bits[lo:hi, :, :]
+                old = llr[lo:hi, :, :]
+                g_new = dn + (1.0 - 2.0 * pb) * up
+                f_new = chk(up, dn)
+                llr[lo:hi, :, :] = jnp.where(
+                    use_g, g_new, jnp.where(use_f, f_new, old))
+
+            is_frozen = fr_ref[0, off + jj] == 1 if has_frozen else None
+            fork(llr[0:1, :, :], is_frozen)
+
+            t1 = _ntz32(jj + 1)
+            v = ub_ref[:]
+            for i in range(nd.stage):
+                lo, hi = _slot(i)
+                old = bits[lo:hi, :, :]
+                bits[lo:hi, :, :] = jnp.where(t1 == i, v, old)
+                v = jnp.concatenate([_fxor(old, v), v], axis=0)
+            return carry
+
+        lax.fori_loop(0, w, inner_body, jnp.int32(0))
+        mark_forked()  # the traced fork() calls above ran under trace once;
+        # the loop executes them w times — flags must reflect the LAST one
+        for i in range(min(nd.stage, S + 1)):
+            zero_bits[i] = False
+
+        # climb: node decision block from slots 0..stage-1 + ub
+        v = ub_ref[:]
+        for i in range(nd.stage):
+            lo, hi = _slot(i)
+            old = bits[lo:hi, :, :]
+            v = jnp.concatenate([_fxor(old, v), v], axis=0)
+        return v
+
+    # ---- recursion --------------------------------------------------------
+    def process(nd):
+        """Emit node nd.  Returns (v, forked): v = the node's decision block
+        x = encode(u_node) as a [2^stage, FS, LANES] VALUE in logical path
+        order, or None if statically all-zero; forked = whether any path
+        selection was emitted (sigma rows scrambled)."""
+        if nd.kind == "r0":
+            leaves = descend(read_llr(nd.stage), nd.stage)
+            add_pen0_serial(leaves, 1 << nd.stage)
+            return None, False
+        if nd.kind == "rep":
+            w = 1 << nd.stage
+            leaves = descend(read_llr(nd.stage), nd.stage)
+            add_pen0_serial(leaves, w - 1)
+            fork(leaves[w - 1 : w, :, :], None)
+            return jnp.broadcast_to(ub_ref[:], (w, FS, LANES)), True
+        if nd.kind == "loop":
+            return run_loop(nd), True
+
+        # branch
+        s = nd.stage
+        h = 1 << (s - 1)
+        src = read_llr(s)
+        write_llr(s - 1, chk(src[:h], src[h:]))
+        v_l, fk_l = process(nd.left)
+
+        if v_l is None:
+            zero_bits[s - 1] = True
+            if s - 1 > S:
+                clean_bits[s - 1] = False  # sigma row stale; never read
+        else:
+            write_bits(s - 1, v_l)
+
+        src = read_llr(s)  # re-gather if the left half forked
+        up, dn = src[:h], src[h:]
+        if v_l is None:
+            write_llr(s - 1, dn + up)
+        else:
+            write_llr(s - 1, dn + (1.0 - 2.0 * v_l) * up)
+        v_r, fk_r = process(nd.right)
+
+        if v_l is None and v_r is None:
+            return None, False  # impossible by construction (parent is r0)
+        if v_l is None:
+            left_x = jnp.zeros((h, FS, LANES), jnp.float32)
+        else:
+            left_x = read_bits(s - 1)
+        if v_r is None:
+            v_r = jnp.zeros((h, FS, LANES), jnp.float32)
+        return (
+            jnp.concatenate([_fxor(left_x, v_r), v_r], axis=0),
+            fk_l or fk_r,
+        )
+
+    root = decompose(frozen, n, 0, wloop)
+    if root.kind == "branch":
+        v, _ = process(root)
+    else:
+        # degenerate tiny-N roots (tests): route through a synthetic branch
+        # contract by reading the channel directly
+        if root.kind == "r0":
+            leaves = descend(ch_ref[:N], n)
+            add_pen0_serial(leaves, N)
+            v = None
+        elif root.kind == "rep":
+            leaves = descend(ch_ref[:N], n)
+            add_pen0_serial(leaves, N - 1)
+            fork(leaves[N - 1 : N, :, :], None)
+            v = jnp.broadcast_to(ub_ref[:], (N, FS, LANES))
+        else:
+            # loop root reads llr slots; seed slot(n-1)-level from channel
+            write_llr(n - 1, chk(ch_ref[: N // 2], ch_ref[N // 2 : N]))
+            # run as branch over the two halves
+            raise NotImplementedError("N <= wloop roots are not supported")
+
+    if v is None:
+        u_out_ref[:] = jnp.zeros((N, FS, LANES), jnp.int8)
+    else:
+        u_out_ref[:] = _encode_sub(v, n, FS).astype(jnp.int8)
+    pm_out_ref[:] = pm_ref[:]
+    tie_out_ref[:] = tie_ref[:].astype(jnp.int32)
+
+
+def frames_per_tile(L: int, B: int = 1 << 30) -> int:
+    F = LANES // L
+    fs = FS
+    while fs > 1 and (fs * F > B or B % (fs * F)):
+        fs //= 2
+    return fs * F
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret"),
+)
+def scl_decode_fast(
+    ch_llr,
+    frozen: Tuple[bool, ...],
+    list_size: int = 8,
+    subtree: int = 0,
+    wloop: int = 4,
+    interpret: bool = False,
+):
+    """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
+    STATIC tuple of bools (the compile-time mask).  Returns
+    (u_all [B, L, N] int8, PM [B, L] f32, ties [B] int32) — identical
+    contract to scl_decode_tree/scl_decode_subtree."""
+    B, N = ch_llr.shape
+    n = N.bit_length() - 1
+    L = list_size
+    frozen = tuple(bool(b) for b in frozen)
+    assert len(frozen) == N, (len(frozen), N)
+    assert L <= LANES and LANES % L == 0, L
+    assert wloop >= 2 and (wloop & (wloop - 1)) == 0, wloop
+    assert N > wloop, (N, wloop)
+    s0 = wloop.bit_length() - 1
+    S = subtree or s0
+    assert s0 <= S <= n - 1, (S, s0, n)
+    F = LANES // L
+    fpt = frames_per_tile(L, B)
+    fs = fpt // F
+    assert B % fpt == 0, (B, fpt)
+    NS = n - 1 - S
+    SROWS = max(2 * NS, 1)
+
+    fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
+    C = B // fpt
+    ch_c = ch_llr.reshape(C, fs, F, N).transpose(0, 3, 1, 2)
+    ch_c = jnp.tile(ch_c, (1, 1, 1, L))  # [C, N, fs, 128]
+
+    kernel = functools.partial(
+        _scl_fast_kernel, n=n, N=N, L=L, S=S, FS=fs, frozen=frozen,
+        wloop=wloop,
+    )
+
+    u_all_c, PM_c, ties_c = pl.pallas_call(
+        kernel,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((None, N, fs, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, N, fs, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, fs, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, fs, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, N, fs, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((C, 1, fs, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, fs, LANES), jnp.int32),
+        ),
+        scratch_shapes=(
+            pltpu.VMEM((N, fs, LANES), jnp.float32),       # llr
+            pltpu.VMEM((N, fs, LANES), jnp.float32),       # bits
+            pltpu.VMEM((SROWS, fs, LANES), jnp.float32),   # sigma
+            pltpu.VMEM((N // 2, fs, LANES), jnp.float32),  # gather acc
+            pltpu.VMEM((1, fs, LANES), jnp.float32),       # pm
+            pltpu.VMEM((1, fs, LANES), jnp.float32),       # ub
+            pltpu.VMEM((1, fs, LANES), jnp.float32),       # ties
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ch_c, fr_row)
+
+    u_all = u_all_c.reshape(C, N, fs, L, F).transpose(0, 2, 4, 3, 1)
+    u_all = u_all.reshape(B, L, N)
+    PM = PM_c.reshape(C, fs, L, F).transpose(0, 1, 3, 2).reshape(B, L)
+    ties = ties_c.reshape(C, fs, L, F)[:, :, 0, :].reshape(B)
+    return u_all, PM, ties

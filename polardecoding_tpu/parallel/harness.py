@@ -261,7 +261,7 @@ def run_fused_sweep(
 
 
 def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
-                   mesh=None, fused: bool = False) -> tuple[Callable, Callable]:
+                   mesh=None, fused: bool = True) -> tuple[Callable, Callable]:
     """Continuous-batching BP stepper (the production early-stop engine).
 
     Returns (init, step):
@@ -453,7 +453,7 @@ def run_point_waves(
     seed: Optional[int] = None,
     start_state: Optional[PointResult] = None,
     log: Optional[Callable[[str], None]] = None,
-    fused: bool = False,
+    fused: bool = True,
 ) -> PointResult:
     """Adaptive MC at one SNR point on the continuous-batching BP engine."""
     sweep = preset.sweep

@@ -156,6 +156,8 @@ def ranq1_uniform_block(seed: int, count: int, lanes: int = 512) -> np.ndarray:
     computed `lanes` positions at a time via GF(2) leapfrog (bit-exact to
     Ranq1.uniform: same u64 → f64 conversion, same 5.42101086242752217e-20
     scale — ref SC_128.c:235-250)."""
+    if count == 0:
+        return np.empty(0, dtype=np.float64)
     with np.errstate(over="ignore"):
         r = Ranq1(seed)
         lanes = min(lanes, count)
@@ -188,6 +190,8 @@ def golden_noise(seed: int, num_frames: int, N: int, sigma: float,
     float op (2u−1, x², +, −2·log/s, sqrt, σ·x·f) is the same IEEE double op
     the scalar path performs, in the same association (SC_128.c:252-267)."""
     calls = num_frames * ((N + 1) // 2)  # one normal() per two positions
+    if calls == 0:
+        return np.empty((num_frames, N), dtype=np.float64)
     r = Ranq1(seed)
     cols = _xorshift_cols()
     # wide lanes amortize numpy per-op overhead in _mat_apply (measured:

@@ -39,11 +39,16 @@ from polardecoding_tpu.parallel.harness import run_point_waves  # noqa: E402
 
 
 def register_fast_twin(name):
-    """Register <name>_FASTCHK: same preset with bp_flavor=minsum_lut_fast."""
+    """<name>_FASTCHK: same preset with bp_flavor=minsum_lut_fast.  The twins
+    for BP_128/BP_1024 are first-class presets since the round-2 A/B landed
+    (configs.py); this keeps working for any other preset name."""
+    fast = name + "_FASTCHK"
+    if fast in cfg.PRESETS:
+        return fast
     p = preset(name)
     fp = dataclasses.replace(
         p,
-        name=name + "_FASTCHK",
+        name=fast,
         decoder=dataclasses.replace(p.decoder, bp_flavor="minsum_lut_fast"),
     )
     cfg.PRESETS[fp.name] = fp

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from polardecoding_tpu.configs import preset
-from polardecoding_tpu.models.bp import bp_decode, bp_decode_pallas
+from polardecoding_tpu.models.bp import bp_decode
+from polardecoding_tpu.ops.pallas.bp_kernel import bp_decode_pallas
 from scl_parity_hw import channel_llrs  # same frame-generation recipe
 from polardecoding_tpu.analysis.construction import code_frozen_mask
 
