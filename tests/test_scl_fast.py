@@ -1,0 +1,135 @@
+"""Frozen-specialized (fourth-generation) SCL Pallas kernel vs the jnp
+engine — interpreter mode on the CPU mesh.
+
+The fast kernel SPECIALIZES the traced program on the static frozen mask
+(ops/pallas/scl_fast_kernel.py): all-frozen (R0) and repetition (REP) nodes
+collapse to vectorized descents, info bits in mixed regions keep the proven
+masked inner loop.  Reference semantics are unchanged (SCL_1024.c:546-680,
+:481-502), so every test here asserts BIT equality of decoded paths, exact
+PM equality, and tie-counter equality against models/scl.scl_decode — the
+float64-validated jnp engine.
+
+The parametrization walks the node taxonomy: masks with R0 nodes, REP nodes
+of widths 2..8, mixed/SPC loop nodes, statically-all-info loop nodes, every
+list-size lane packing (L=1 F=128 .. L=32 F=4), wloop in {2, 4, 8}, and
+eager regions larger than the loop width (S > log2 wloop).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polardecoding_tpu.models.scl import scl_decode
+from polardecoding_tpu.ops.pallas.scl_fast_kernel import (
+    decompose,
+    schedule_stats,
+    scl_decode_fast,
+)
+from polardecoding_tpu.utils.sequences import frozen_mask
+
+# mask with an aligned all-frozen quad (R0), REP blocks, SPC and mixed
+# patterns, an info tail — every decompose() node kind at wloop=4
+MIXED32 = np.array(
+    [1, 1, 1, 1, 0, 1, 1, 0, 1, 1, 0, 0, 0, 1, 0, 0,
+     1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0], bool)
+
+
+def _parity(fr, L, B=32, wloop=4, S=0, llr=None, seed=7):
+    N = len(fr)
+    frt = tuple(bool(b) for b in fr)
+    if llr is None:
+        rng = np.random.default_rng(seed)
+        llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
+    ua, pma, ta = scl_decode(llr, jnp.asarray(np.asarray(fr, bool)),
+                             list_size=L, return_all=True, return_ties=True)
+    kw = dict(list_size=L, wloop=wloop, interpret=True)
+    if S:
+        kw["subtree"] = S
+    ub, pmb, tb = scl_decode_fast(llr, frt, **kw)
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    assert (np.asarray(pma) == np.asarray(pmb)).all()  # exact: same op DAG
+    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
+@pytest.mark.parametrize("L,B", [(1, 128), (2, 64), (4, 32), (8, 32)])
+def test_scl_fast_mixed_mask_all_list_sizes(L, B):
+    _parity(MIXED32, L, B=B)
+
+
+@pytest.mark.parametrize("wloop", [2, 4, 8])
+def test_scl_fast_wloop_sweep(wloop):
+    _parity(MIXED32, 4, wloop=wloop)
+
+
+def test_scl_fast_eager_region_larger_than_loop():
+    """S > log2(wloop): sigma-managed stages shrink, loop nodes sit strictly
+    inside the eager region."""
+    _parity(MIXED32, 4, wloop=4, S=3)
+    _parity(MIXED32, 8, wloop=2, S=3)
+
+
+def test_scl_fast_5g_masks():
+    """Real constructions: low rate (big R0/REP regions), reference rate 1/2,
+    high rate (statically-all-info loop nodes)."""
+    _parity(np.asarray(frozen_mask(32, 8)), 4)
+    _parity(np.asarray(frozen_mask(32, 20)), 4)
+    _parity(np.asarray(frozen_mask(32, 28)), 4)
+
+
+def test_scl_fast_all_info():
+    """Rate-1 code: no frozen structure at all — pure loop/branch schedule."""
+    _parity(np.zeros(32, bool), 4)
+
+
+def test_scl_fast_forced_ties():
+    """Symmetric ±1 LLRs force exact PM ties at the median — the tie counter
+    (the reference's "Oops!" condition, SCL_1024.c:620-633) must match the
+    jnp engine event-for-event, not just bit decisions."""
+    fr = np.asarray(frozen_mask(32, 20))
+    llr = jnp.asarray(np.tile(np.array([1.0, -1.0] * 16, np.float32),
+                              (32, 1)))
+    frt = tuple(bool(b) for b in fr)
+    _, _, ta = scl_decode(llr, jnp.asarray(fr), list_size=4,
+                          return_all=True, return_ties=True)
+    assert int(np.asarray(ta).sum()) > 0  # the scenario actually ties
+    _parity(fr, 4, llr=llr)
+
+
+def test_scl_fast_l32_lane_packing():
+    """L=32 packs F = 4 frames per lane group — the densest packing."""
+    _parity(np.asarray(frozen_mask(32, 20)), 32, B=16)
+
+
+def test_scl_fast_n128():
+    """N=128 K=64 (the reference's small-code config): 4 R0 + 5 REP +
+    17 loop nodes at wloop=4 — a realistic production schedule."""
+    _parity(np.asarray(frozen_mask(128, 64)), 8, B=16)
+
+
+def test_decompose_covers_and_stats():
+    """The static decomposition tiles the leaf range exactly once, and
+    schedule_stats counts what decompose emits."""
+    frt = tuple(bool(b) for b in MIXED32)
+    root = decompose(frt, 5, 0, 4)
+    seen = []
+
+    def walk(nd):
+        if nd.kind == "branch":
+            walk(nd.left)
+            walk(nd.right)
+        else:
+            seen.append((nd.off, 1 << nd.stage, nd.kind))
+
+    walk(root)
+    cover = sorted((o, o + w) for o, w, _ in seen)
+    assert cover[0][0] == 0 and cover[-1][1] == 32
+    assert all(a[1] == b[0] for a, b in zip(cover, cover[1:]))
+    st = schedule_stats(frt, 4)
+    assert st["r0"] == sum(k == "r0" for *_, k in seen)
+    assert st["rep"] == sum(k == "rep" for *_, k in seen)
+    # an R0 never contains an info bit; a REP's only info bit is its last leaf
+    for off, w, k in seen:
+        blk = MIXED32[off:off + w]
+        if k == "r0":
+            assert blk.all()
+        if k == "rep":
+            assert blk[:-1].all() and not blk[-1]
