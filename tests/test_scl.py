@@ -153,3 +153,45 @@ def test_pm_tie_counter_golden_frames_tie_free():
     frozen = jnp.asarray(frozen_mask(128, 64))
     _, ties = scl_decode(llr, frozen, list_size=8, return_ties=True)
     assert (np.asarray(ties) == 0).all()
+
+
+def test_scl_strict_median():
+    """Debug-only strict-median reference policy (SCL_1024.c:618-633): on a
+    synthetic tie frame it kills tied-at-median candidates ("Oops!" — fewer
+    than L live paths), while on generic tie-free frames it is bit-identical
+    to the default keep-exactly-L policy.  This converts the documented
+    measure-zero divergence from 'argued' to 'demonstrated': both policies'
+    decoded bits are produced side by side on a genuinely tying frame."""
+    from polardecoding_tpu.models.scl import BIG
+
+    N, K, L = 32, 20, 4
+    frozen = jnp.asarray(frozen_mask(N, K))
+
+    # generic frames: identical decisions, PMs, and tie counters
+    llrs = jnp.asarray(_random_llrs(N, 8, seed=3))
+    ua, pma, ta = scl_decode(llrs, frozen, list_size=L, return_all=True,
+                             return_ties=True)
+    ub, pmb, tb = scl_decode(llrs, frozen, list_size=L, return_all=True,
+                             return_ties=True, strict_median=True)
+    assert (np.asarray(ta) == 0).all()
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    assert (np.asarray(pma) == np.asarray(pmb)).all()
+    assert (np.asarray(tb) == 0).all()
+
+    # synthetic tie frame: all-zero LLRs tie every candidate at the median
+    degenerate = jnp.zeros((1, N))
+    us, pms, ts = scl_decode(degenerate, frozen, list_size=L,
+                             return_all=True, return_ties=True,
+                             strict_median=True)
+    ud, pmd, td = scl_decode(degenerate, frozen, list_size=L,
+                             return_all=True, return_ties=True)
+    assert int(np.asarray(ts)[0]) > 0 and int(np.asarray(td)[0]) > 0
+    # strict mode ran with FEWER than L live paths (dead slots at PM=BIG) —
+    # the reference's fewer-than-L repack — while the default kept all L live
+    assert (np.asarray(pms)[0] >= BIG / 2).any()
+    assert (np.asarray(pmd)[0] < BIG / 2).all()
+    # both policies' min-PM decisions on the tie frame, side by side: the
+    # all-zero frame decodes to all-zeros under either policy (>= 0 -> 0)
+    best_s = np.asarray(us)[0, np.asarray(pms)[0].argmin()]
+    best_d = np.asarray(ud)[0, np.asarray(pmd)[0].argmin()]
+    assert (best_s == 0).all() and (best_d == 0).all()
