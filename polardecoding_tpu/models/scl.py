@@ -47,10 +47,12 @@ BIG = 1e30  # PM of inactive list slots
 
 
 @functools.partial(
-    jax.jit, static_argnames=("list_size", "return_all", "return_ties")
+    jax.jit,
+    static_argnames=("list_size", "return_all", "return_ties",
+                     "strict_median"),
 )
 def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
-               return_ties: bool = False):
+               return_ties: bool = False, strict_median: bool = False):
     """Decode a batch of frames with SCL.
 
     ch_llr: [B, N]; frozen: [N] bool; list_size: L.
@@ -64,6 +66,19 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
     (SCL_1024.c:620-633).  We keep exactly L with index tie-breaks; a nonzero
     counter marks the (measure-zero) frames where the two policies could
     diverge, making that documented divergence observable rather than assumed.
+
+    strict_median=True is the debug-only REFERENCE policy: keep only
+    candidates STRICTLY below the median PMcand[L] (SCL_1024.c:618-633), so
+    an exact tie at the median kills the tied candidates and the list runs
+    with fewer than L live paths until the next doubling refills it (the
+    reference's post-"Oops!" behavior: dead slots stay PM=inf and phase A's
+    active<L doubling re-engages because BIG candidates never enter the
+    survivor set while finite ones exist).  The surviving path SET and all
+    finite PMs match the reference; only the slot numbering differs (the
+    reference repacks survivors into dead slots, we leave them in rank
+    order — selection and the final min-PM readout are order-free).  On
+    tie-free frames (every observed MC frame) this is bit-identical to the
+    default keep-exactly-L policy — proven in test_scl_strict_median.
     """
     B, N = ch_llr.shape
     n = N.bit_length() - 1
@@ -111,7 +126,14 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
         take = lambda a: jnp.take_along_axis(
             a, parent.reshape(parent.shape + (1,) * (a.ndim - 2)), axis=1
         )
-        return (take(llr_c), take(bits_c), take(u_all), -neg_top[..., :L],
+        new_PM = -neg_top[..., :L]
+        if strict_median:
+            # reference policy: survivors are STRICTLY below the median
+            # PMcand[L]; tied-at-median candidates die (slot PM = BIG), the
+            # "Oops!" case (SCL_1024.c:618-633)
+            med = -neg_top[..., L:]
+            new_PM = jnp.where(new_PM < med, new_PM, BIG)
+        return (take(llr_c), take(bits_c), take(u_all), new_PM,
                 ties + tie.astype(jnp.int32), ub)
 
     def body(j, carry):
@@ -140,18 +162,49 @@ def scl_decode(ch_llr, frozen, list_size: int = 8, return_all: bool = False,
     return (u_hat, ties) if return_ties else u_hat
 
 
-def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
-    """A subtree-hybrid Pallas kernel wins on TPU backends for every shipped
-    config (see README perf table).  Two generations serve different list-
-    size regimes (kernel docstrings explain why):
-      L <= 8:  per-path-refs kernel (ops/pallas/scl_subtree_kernel.py) —
-               fastest tiles, O(M L^2) trace; needs B % lane tile == 0.
-      L >= 16: paths-in-lanes kernel (ops/pallas/scl_tree_kernel.py) —
-               O(M L) trace keeps Mosaic compile times sane; needs
-               B % frames-per-tile == 0."""
+def _static_frozen(frozen):
+    """Concrete frozen mask -> static bool tuple, or None when `frozen` is a
+    tracer (user jitted over the mask — rare; every production path closes
+    over a concrete mask, which is what lets the fast kernel specialize its
+    traced program on it)."""
+    if isinstance(frozen, (tuple, list)):
+        return tuple(bool(b) for b in frozen)
+    try:
+        import numpy as _np
+
+        return tuple(bool(b) for b in _np.asarray(frozen))
+    except Exception:
+        return None
+
+
+def default_wloop(n: int, L: int) -> int:
+    """Loop-node width for the frozen-specialized kernel.  Measured on v5e
+    at N=1024 B=8192 kernel-only (best-of-3 interleaved, ab_sclfast.py):
+    L=8: w2 224.5k / w4 205.3k / w8 185.6k fps — the smallest window wins:
+    every info bit forks regardless of wloop, so shrinking the window only
+    removes masked-descent work and converts frozen patterns into
+    vectorized REP/R0 nodes."""
+    return 2
+
+
+def _pallas_ok(B: int, N: int, L: int = 1, frozen=None) -> bool:
+    """A whole-decode Pallas kernel wins on TPU backends for every shipped
+    config (see README perf table).  Three generations (kernel docstrings
+    explain the history):
+      static mask (production): frozen-specialized fast kernel
+               (ops/pallas/scl_fast_kernel.py) — paths-in-lanes layout,
+               needs B % frames-per-tile == 0.
+      traced mask, L <= 8:  per-path-refs kernel (scl_subtree_kernel.py).
+      traced mask, L >= 16: paths-in-lanes kernel (scl_tree_kernel.py)."""
     backend = jax.default_backend()
     if backend in ("cpu", "gpu") or N < 32 or L > 128:
         return False
+    if frozen is not None and _static_frozen(frozen) is not None:
+        from polardecoding_tpu.ops.pallas.scl_fast_kernel import (
+            frames_per_tile,
+        )
+
+        return B % frames_per_tile(L, B) == 0
     if L <= 8:
         from polardecoding_tpu.ops.pallas.scl_subtree_kernel import _pick_tile
 
@@ -163,7 +216,19 @@ def _pallas_ok(B: int, N: int, L: int = 1) -> bool:
 
 
 def _scl_kernel(ch_llr, frozen, list_size):
-    """Dispatch to the list-size-appropriate kernel generation."""
+    """Dispatch: frozen-specialized fast kernel whenever the mask is static
+    (every production config — measured 1.78x the per-path kernel at the
+    binding N=1024 L=8 config, HW-parity-tested at all {N}x{L}); otherwise
+    the list-size-appropriate earlier generation."""
+    fz = _static_frozen(frozen)
+    if fz is not None:
+        from polardecoding_tpu.ops.pallas.scl_fast_kernel import (
+            scl_decode_fast,
+        )
+
+        n = ch_llr.shape[-1].bit_length() - 1
+        return scl_decode_fast(ch_llr, fz, list_size=list_size,
+                               wloop=default_wloop(n, list_size))
     if list_size <= 8:
         from polardecoding_tpu.ops.pallas.scl_subtree_kernel import (
             scl_decode_subtree,
@@ -177,9 +242,10 @@ def _scl_kernel(ch_llr, frozen, list_size):
 
 def scl_decode_auto(ch_llr, frozen, list_size: int = 8,
                     return_all: bool = False, return_ties: bool = False):
-    """Dispatch to the VMEM-resident subtree Pallas kernel where it wins."""
+    """Dispatch to the VMEM-resident whole-decode Pallas kernel where it
+    wins."""
     B, N = ch_llr.shape
-    if _pallas_ok(B, N, list_size):
+    if _pallas_ok(B, N, list_size, frozen):
         u_all, PM, ties = _scl_kernel(ch_llr, frozen, list_size)
         if return_all:
             return (u_all, PM, ties) if return_ties else (u_all, PM)
@@ -194,7 +260,7 @@ def sc_decode_auto(ch_llr, frozen):
     """SC via the SCL kernel at L=1 on TPU (the L=1 path-metric rule decides
     by LLR sign, identical to SC)."""
     B, N = ch_llr.shape
-    if _pallas_ok(B, N):
+    if _pallas_ok(B, N, 1, frozen):
         u_all, _, _ = _scl_kernel(ch_llr, frozen, 1)
         return u_all[:, 0]
     from polardecoding_tpu.models.sc import sc_decode

@@ -46,6 +46,19 @@ re-derived, the arithmetic is identical):
         logical order stays identity until the next fork; reads in that
         window skip the L-term roll-mask gather and read the slot directly.
 
+  * Sigma rows are PACKED base-L digits, DPF = floor(24 / log2 L) logical
+    rows per physical f32 row (exact: packed values < 2^24).  The third
+    generation gathered every per-stage sigma row through the parent map at
+    every fork — SROWS = 2(n-1-S) rows, 16 of the ~22 gathered rows per
+    fork at N=1024 S=1.  Packing cuts that to ceil(SROWS/DPF) physical rows
+    (2 at L=8, 4 at L=32): the fork's roll-mask gather moves whole lane
+    values, so it is digit-agnostic; digit extraction (floor-div by the
+    power-of-two L^k, exact in f32) happens only at boundary reads and
+    identity resets.  (A running-permutation composition scheme — one
+    gathered row + per-stage snapshots — was tried first and is UNSOUND:
+    SCL parent maps are many-to-one, so the required inverse does not
+    exist; a 200-op random simulation falsifies it.)
+
 Layout, selection semantics, tie counting, and the u = encode(x) epilogue
 are inherited verbatim from scl_tree_kernel.py (paths in lanes: lane =
 p*F + f, sublane group = frame group; see that module's docstring).  The
@@ -170,6 +183,11 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     F = LANES // L
     NS = n - 1 - S  # sigma-managed stages: S+1 .. n-1
     SROWS = max(2 * NS, 1)
+    # digit packing: DPF logical sigma rows per physical f32 row (base-L
+    # digits; power-of-two base makes every extract/update exact in f32)
+    LBITS = max(1, (L - 1).bit_length())
+    DPF = max(1, 24 // LBITS)
+    PSR = (SROWS + DPF - 1) // DPF  # physical sigma rows
     ER = 2 * (1 << S) - 1  # eager region: rows of slots 0..S
     s0 = wloop.bit_length() - 1  # loop-node stage
 
@@ -179,16 +197,17 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     pidx = lax.broadcasted_iota(jnp.int32, (1, FS, LANES), 2) // F
     pmd = [((pidx - d) % L).astype(jnp.float32) for d in range(L)]
     pidxf = pmd[0]
+    REP_CONST = float(sum(L ** k for k in range(DPF)))  # identity all digits
 
     llr[:] = jnp.zeros((N, FS, LANES), jnp.float32)
     bits[:] = jnp.zeros((N, FS, LANES), jnp.float32)
-    sig[:] = jnp.broadcast_to(pidxf, (SROWS, FS, LANES))
+    sig[:] = jnp.broadcast_to(pidxf * REP_CONST, (PSR, FS, LANES))
     pm_ref[:] = jnp.where(pidx == 0, 0.0, BIG)
     ub_ref[:] = jnp.zeros((1, FS, LANES), jnp.float32)
     tie_ref[:] = jnp.zeros((1, FS, LANES), jnp.float32)
 
     # ---- static dataflow state (emission-time only) ----------------------
-    clean_llr = {i: False for i in range(S + 1, n)}  # sigma row == identity
+    clean_llr = {i: False for i in range(S + 1, n)}  # sigma digit == identity
     clean_bits = {i: False for i in range(S + 1, n)}
     zero_bits = {i: False for i in range(n)}  # slot all-zero in EVERY lane
 
@@ -198,12 +217,27 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     def sigma_bits_row(i):
         return NS + i - (S + 1)
 
+    def sig_digit(r):
+        """Extract logical sigma row r: digit r%DPF of physical row r//DPF.
+        floor-div by the power-of-two L^k and the base-L mod are exact."""
+        pr, k = divmod(r, DPF)
+        x = sig[pr : pr + 1, :, :]
+        hi = jnp.floor(x / float(L ** k))
+        return hi - float(L) * jnp.floor(hi / float(L))
+
+    def sig_digit_set_identity(r):
+        pr, k = divmod(r, DPF)
+        x = sig[pr : pr + 1, :, :]
+        cur_hi = jnp.floor(x / float(L ** k))
+        cur = cur_hi - float(L) * jnp.floor(cur_hi / float(L))
+        sig[pr : pr + 1, :, :] = x + (pidxf - cur) * float(L ** k)
+
     def sig_read(arr, srow, i):
-        """L-term roll-mask gather of slot(i) through sigma row `srow`,
+        """L-term roll-mask gather of slot(i) through sigma digit `srow`,
         accumulated through the gat scratch ref (scl_tree_kernel notes)."""
         lo, hi = _slot(i)
         w = hi - lo
-        sel = sig[srow : srow + 1, :, :]
+        sel = sig_digit(srow)
         src = arr[lo:hi, :, :]
         gat[:w, :, :] = jnp.zeros((w, FS, LANES), jnp.float32)
         for d in range(L):
@@ -230,8 +264,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         lo, hi = _slot(i)
         llr[lo:hi, :, :] = val
         if i > S:
-            r = sigma_llr_row(i)
-            sig[r : r + 1, :, :] = pidxf
+            sig_digit_set_identity(sigma_llr_row(i))
             clean_llr[i] = True
 
     def write_bits(i, val):
@@ -239,8 +272,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         bits[lo:hi, :, :] = val
         zero_bits[i] = False
         if i > S:
-            r = sigma_bits_row(i)
-            sig[r : r + 1, :, :] = pidxf
+            sig_digit_set_identity(sigma_bits_row(i))
             clean_bits[i] = True
 
     def mark_forked():
@@ -307,7 +339,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         if L > 1:
             el = llr[:ER, :, :]
             eb = bits[:ER, :, :]
-            sg = sig[:]
+            sg = sig[:]  # PSR packed rows — the gather is digit-agnostic
             if is_frozen is None:
                 llr[:ER, :, :] = gather_parent(el)
                 bits[:ER, :, :] = gather_parent(eb)
@@ -524,6 +556,8 @@ def scl_decode_fast(
     assert B % fpt == 0, (B, fpt)
     NS = n - 1 - S
     SROWS = max(2 * NS, 1)
+    LBITS = max(1, (L - 1).bit_length())
+    PSR = (SROWS + max(1, 24 // LBITS) - 1) // max(1, 24 // LBITS)
 
     fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
     C = B // fpt
@@ -560,7 +594,7 @@ def scl_decode_fast(
         scratch_shapes=(
             pltpu.VMEM((N, fs, LANES), jnp.float32),       # llr
             pltpu.VMEM((N, fs, LANES), jnp.float32),       # bits
-            pltpu.VMEM((SROWS, fs, LANES), jnp.float32),   # sigma
+            pltpu.VMEM((PSR, fs, LANES), jnp.float32),     # packed sigma
             pltpu.VMEM((N // 2, fs, LANES), jnp.float32),  # gather acc
             pltpu.VMEM((1, fs, LANES), jnp.float32),       # pm
             pltpu.VMEM((1, fs, LANES), jnp.float32),       # ub

@@ -164,12 +164,19 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
     return step
 
 
-def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None):
+def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None,
+                       llr_dtype=None, bp_engine="auto"):
     """Fold the SNR sweep into the batch (SURVEY §2.5 "SNR-sweep
     parallelism"): frame i runs at sigma[i % num_snr]; counters come back
     per SNR point.  One compiled step serves the whole sweep — useful for
     deep sweeps with a fixed frame budget, where per-point adaptive stopping
-    would leave the chip underutilized on the easy points."""
+    would leave the chip underutilized on the easy points.
+
+    Same knobs as make_frame_step (llr_dtype for e.g. bfloat16 message
+    state, bp_engine="jnp" to force the non-Pallas BP path — the bf16
+    combination the precision study recommends on non-TPU backends), and
+    the same pm_ties observability: returns (errbit, errblock, frames,
+    pm_ties), each [num_snr] int32."""
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
@@ -180,18 +187,21 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None):
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
 
     def decode(llr):
+        """-> (u_hat [B, N] int8, tie frame counter [B] int32 or None)."""
         if dec.kind == "bp":
             return bp_decode_auto(
                 llr, frozen, iters=dec.bp_iters, flavor=dec.bp_flavor,
                 early_stop_every=(4 if dec.bp_early_stop else 0),
-            )
+                engine=bp_engine,
+            ), None
         if dec.kind == "sc":
-            return sc_decode_auto(llr, frozen)
+            return sc_decode_auto(llr, frozen), None
         if dec.kind == "scl":
-            return scl_decode_auto(llr, frozen, list_size=dec.list_size)
+            return scl_decode_auto(llr, frozen, list_size=dec.list_size,
+                                   return_ties=True)
         if dec.kind == "cascl":
             return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
-                                list_size=dec.list_size)
+                                list_size=dec.list_size, return_ties=True)
         raise ValueError(f"unknown decoder kind {dec.kind!r}")
 
     @jax.jit
@@ -211,7 +221,9 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None):
         x = polar_encode(u)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         llr = awgn_llr(x, keys, sigmas[snr_idx])
-        u_hat = decode(llr)
+        if llr_dtype is not None:
+            llr = llr.astype(llr_dtype)
+        u_hat, ties = decode(llr)
         bad = u_hat[:, I] != w
         errbit = jax.ops.segment_sum(
             jnp.sum(bad, axis=-1, dtype=jnp.int32), snr_idx, num_snr
@@ -222,7 +234,10 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None):
         frames = jax.ops.segment_sum(
             jnp.ones_like(snr_idx), snr_idx, num_snr
         )
-        return errbit, errblock, frames
+        tie_frames = (jnp.zeros(num_snr, jnp.int32) if ties is None
+                      else jax.ops.segment_sum(
+                          (ties > 0).astype(jnp.int32), snr_idx, num_snr))
+        return errbit, errblock, frames, tie_frames
 
     return step
 
@@ -244,18 +259,20 @@ def run_fused_sweep(
     eb = np.zeros(len(snrs), np.int64)
     ebl = np.zeros(len(snrs), np.int64)
     fr = np.zeros(len(snrs), np.int64)
+    ties = np.zeros(len(snrs), np.int64)
     t0 = time.perf_counter()
     done = 0
     while done < total_frames:
-        a, b, c = step(key, jnp.int32(done), sigmas)
+        a, b, c, d = step(key, jnp.int32(done), sigmas)
         eb += np.asarray(a)
         ebl += np.asarray(b)
         fr += np.asarray(c)
+        ties += np.asarray(d)
         done += batch
     dt = time.perf_counter() - t0
     return [
         PointResult(preset.name, snrs[i], int(eb[i]), int(ebl[i]), int(fr[i]),
-                    seed, dt * fr[i] / max(done, 1))
+                    seed, dt * fr[i] / max(done, 1), pm_ties=int(ties[i]))
         for i in range(len(snrs))
     ]
 
@@ -701,6 +718,7 @@ def run_sweep(
                 done[rec["snr_db"]] = PointResult(
                     rec["preset"], rec["snr_db"], rec["errbit"], rec["errblock"],
                     rec["frames"], rec["seed"], rec.get("elapsed_s", 0.0),
+                    pm_ties=rec.get("pm_ties", 0),
                 )
 
     results = []

@@ -28,7 +28,34 @@ def main():
                     help="interleaved fused-vs-unfused A/B (best-of-reps, "
                          "DVFS-resistant — see scripts/ab_scl.py)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--retune", action="store_true",
+                    help="K/batch retune of the production wave config "
+                         "(fused + FASTCHK) after fusion changed the "
+                         "traffic balance (round-3 verdict item)")
     args = ap.parse_args()
+
+    if args.retune:
+        # fused kernel + chk_fast moved the per-wave fixed costs; re-probe
+        # wave_iters and batch around the old optimum (K=8, 16384)
+        grid = ([(16384, 8), (16384, 6)] if args.quick else
+                [(16384, 4), (16384, 6), (16384, 8), (16384, 12),
+                 (32768, 6), (32768, 8)])
+        best = {}
+        for rep in range(args.reps):
+            for batch, wi in grid:
+                fps = bench_waves("BP_1024_FASTCHK", batch, args.snr,
+                                  wave_iters=wi, steps=24, warmup=4,
+                                  fused=True)
+                key = (batch, wi)
+                best[key] = max(best.get(key, 0.0), fps)
+                print(json.dumps({"engine": "wave-retune", "rep": rep,
+                                  "batch": batch, "wave_iters": wi,
+                                  "fps": round(fps, 1)}), flush=True)
+        top = max(best, key=best.get)
+        print(json.dumps({"engine": "wave-retune-best", "batch": top[0],
+                          "wave_iters": top[1],
+                          "fps": round(best[top], 1)}), flush=True)
+        return
 
     if args.ab_fused:
         grid = [(8192, 8)] if args.quick else [(8192, 8), (16384, 8)]

@@ -22,17 +22,21 @@ run() {  # run <n> <timeout_s> <cmd...>
   tail -5 "$LOG/step$n.log"
 }
 
-# default --frames 512 matches the r2 parity runs' shapes (compile cache
-# hits for every config except the reworked L=32 S=2 kernel)
-run 1 3600 python scripts/scl_parity_hw.py
-run 2 1800 python scripts/es_sanity_hw.py
-run 3 1800 python scripts/bench_wave.py --ab-fused
-run 4 3000 python scripts/ab_chkfast.py --perf --bler
-run 5 1200 python scripts/verify_drive.py --fast
-run 6 1200 python bench.py
-run 7 3600 python scripts/bench_scl.py
-# headline probe: is SCL (the current min) faster at batch 8192?
-run 8 1200 python bench.py --scl-batch 8192 --skip-wave
-# never-measured S in {2,3} for the per-path kernel (binding headline)
-run 9 2400 python scripts/ab_subtree_depth.py
+# ---- round 3: frozen-specialized (fast) SCL kernel campaign ----
+# 1: dispatch parity (now routes to the fast kernel) at all {N}x{L}
+run 1 5400 python scripts/scl_parity_hw.py
+# 2: packed-sigma fast kernel vs per-path incumbent at the binding config
+run 2 5400 python scripts/ab_sclfast.py 1024 8 8192 6 3
+# 3: L=1 (SC path) — unmeasured routing change
+run 3 3600 python scripts/ab_sclfast.py 1024 1 8192 6 3
+# 4: headline with the new dispatch
+run 4 1800 python bench.py
+# 5: wave-engine K/batch retune on the production config (fused + FASTCHK)
+run 5 3000 python scripts/bench_wave.py --retune
+# 6: end-to-end BLER verification drive
+run 6 1200 python scripts/verify_drive.py --fast
+# 7: ES-engine hardware sanity (fixed import; never ran in r2)
+run 7 1800 python scripts/es_sanity_hw.py
+# 8: SCL batch probe at 16384 with the fast kernel
+run 8 1800 python bench.py --scl-batch 16384 --skip-wave
 echo "QUEUE DONE $(date)" | tee -a $LOG/summary.txt

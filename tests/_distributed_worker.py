@@ -29,8 +29,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from polardecoding_tpu.configs import preset  # noqa: E402
 from polardecoding_tpu.parallel.distributed import init_distributed  # noqa: E402
-from polardecoding_tpu.parallel.harness import make_frame_step  # noqa: E402
+from polardecoding_tpu.parallel.harness import make_frame_step, make_wave_step  # noqa: E402
 from polardecoding_tpu.parallel.mesh import data_mesh  # noqa: E402
+
+
+def wave_counters(p, mesh, fused, steps=3):
+    """Per-step wave-engine counters over the given mesh — the production BP
+    configuration with its sharded state carry (donated buffers, cumsum-based
+    refill ranks), the code most sensitive to a multi-process global mesh."""
+    key = jax.random.PRNGKey(p.sweep.seed)
+    sigma = jnp.float32(10.0 ** (-2.0 / 20.0))
+    init, step, _ = make_wave_step(p, batch=32, wave_iters=8, mesh=mesh,
+                                   fused=fused)
+    carry = init(key, jnp.int32(0), sigma)
+    rows = []
+    for _ in range(steps):
+        carry, out = step(key, sigma, carry)
+        rows.append([int(v) for v in out])
+    return rows
 
 
 def main():
@@ -48,7 +64,12 @@ def main():
     for i in range(2):
         eb, ebl, _ = step(key, jnp.int32(i * 32), sigma)
         counters.append([int(eb), int(ebl)])
-    print("RESULT " + json.dumps({"proc": proc_id, "counters": counters}),
+
+    pb = preset("BP_128")
+    waves = {f"fused={fused}": wave_counters(pb, mesh, fused)
+             for fused in (False, True)}
+    print("RESULT " + json.dumps({"proc": proc_id, "counters": counters,
+                                  "waves": waves}),
           flush=True)
 
 

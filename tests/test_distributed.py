@@ -51,6 +51,14 @@ def test_two_process_determinism():
         eb, ebl, _ = step(key, jnp.int32(i * 32), sigma)
         want.append([int(eb), int(ebl)])
 
+    # wave-engine oracle (the production BP carry: donated sharded state,
+    # cumsum refill) — fused and unfused, same recipe as the worker
+    from _distributed_worker import wave_counters
+
+    pb = preset("BP_128")
+    want_waves = {f"fused={fused}": wave_counters(pb, data_mesh(), fused)
+                  for fused in (False, True)}
+
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -74,3 +82,7 @@ def test_two_process_determinism():
         outs.append(json.loads(rec[0][len("RESULT "):]))
     assert outs[0]["counters"] == outs[1]["counters"], outs
     assert outs[0]["counters"] == want, (outs[0]["counters"], want)
+    # the wave engine's per-step counters must also be cross-process
+    # deterministic AND bit-equal to the single-process run
+    assert outs[0]["waves"] == outs[1]["waves"], outs
+    assert outs[0]["waves"] == want_waves, (outs[0]["waves"], want_waves)
