@@ -49,9 +49,13 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
-    grid = ([(128, 8, 1024), (1024, 8, 256)] if args.quick else
-            [(128, 8, 1024), (128, 16, 1024), (128, 32, 1024),
-             (1024, 1, 256), (1024, 8, 256), (1024, 16, 256), (1024, 32, 128)])
+    # batches sized for >=1 s timed windows: the round-2 run at B=256/128
+    # was dispatch-latency-bound through the tunnel and reported ~15x-low
+    # numbers (kernel 7.8k vs 126k for the same config at B=8192)
+    grid = ([(128, 8, 8192), (1024, 8, 4096)] if args.quick else
+            [(128, 8, 8192), (128, 16, 8192), (128, 32, 8192),
+             (1024, 1, 8192), (1024, 8, 4096), (1024, 16, 2048),
+             (1024, 32, 1024)])
     for ncode, L, batch in grid:
         fps = bench_kernel(ncode, L, batch)
         print(json.dumps({"N": ncode, "L": L, "batch": batch,
