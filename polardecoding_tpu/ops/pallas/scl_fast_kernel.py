@@ -525,7 +525,8 @@ def frames_per_tile(L: int, B: int = 1 << 30) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret"),
+    static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret",
+                     "fs_cap"),
 )
 def scl_decode_fast(
     ch_llr,
@@ -534,6 +535,7 @@ def scl_decode_fast(
     subtree: int = 0,
     wloop: int = 4,
     interpret: bool = False,
+    fs_cap: int = 0,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
     STATIC tuple of bools (the compile-time mask).  Returns
@@ -553,6 +555,9 @@ def scl_decode_fast(
     F = LANES // L
     fpt = frames_per_tile(L, B)
     fs = fpt // F
+    if fs_cap:  # diagnostic: shrink sublane groups per tile (latency-vs-
+        fs = min(fs, fs_cap)  # throughput probe; production leaves this 0)
+        fpt = fs * F
     assert B % fpt == 0, (B, fpt)
     NS = n - 1 - S
     SROWS = max(2 * NS, 1)

@@ -26,9 +26,9 @@ run() {  # run <n> <timeout_s> <cmd...>
 # 1: dispatch parity (now routes to the fast kernel) at all {N}x{L}
 run 1 5400 python scripts/scl_parity_hw.py
 # 2: packed-sigma fast kernel vs per-path incumbent at the binding config
-run 2 5400 python scripts/ab_sclfast.py 1024 8 8192 6 3
+run 2 5400 python scripts/ab_sclfast.py 1024 8 8192 24 3
 # 3: L=1 (SC path) — unmeasured routing change
-run 3 3600 python scripts/ab_sclfast.py 1024 1 8192 6 3
+run 3 3600 python scripts/ab_sclfast.py 1024 1 8192 24 3
 # 4: headline with the new dispatch
 run 4 1800 python bench.py
 # 5: wave-engine K/batch retune on the production config (fused + FASTCHK)
@@ -39,4 +39,6 @@ run 6 1200 python scripts/verify_drive.py --fast
 run 7 1800 python scripts/es_sanity_hw.py
 # 8: SCL batch probe at 16384 with the fast kernel
 run 8 1800 python bench.py --scl-batch 16384 --skip-wave
+# 9: N=128 rerun with scalar fetch (round-3 first run was tunnel-bound)
+run 9 2400 python scripts/ab_sclfast.py 128 8 16384 48 3
 echo "QUEUE DONE $(date)" | tee -a $LOG/summary.txt

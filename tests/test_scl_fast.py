@@ -133,3 +133,25 @@ def test_decompose_covers_and_stats():
             assert blk.all()
         if k == "rep":
             assert blk[:-1].all() and not blk[-1]
+
+
+def test_static_frozen_detection():
+    """Dispatch helper: concrete masks (arrays, tuples) become static
+    tuples; traced masks return None (-> legacy kernel fallback)."""
+    import jax
+
+    from polardecoding_tpu.models.scl import _static_frozen, default_wloop
+
+    assert _static_frozen((True, False)) == (True, False)
+    assert _static_frozen(np.array([1, 0], bool)) == (True, False)
+    assert _static_frozen(jnp.asarray([True, False])) == (True, False)
+    seen = []
+
+    def f(m):
+        seen.append(_static_frozen(m))
+        return m
+
+    jax.jit(f)(jnp.asarray([True, False]))
+    assert seen[0] is None
+    # production wloop default (measured: w2 wins at L in {8,16,32}, N=1024)
+    assert default_wloop(10, 8) == 2
