@@ -292,6 +292,10 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        # state updates in place: without this XLA materializes a fresh
+        # [2(n+1), B, N] output and COPIES the 1.5 GB state every wave —
+        # measured 10.9% of device time (scripts/profile_wave.py, r3)
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(state, llr, ret_f)
     return state, u_hat, done[:, 0].astype(bool)
@@ -335,6 +339,7 @@ def bp_wave_pallas(state, iters: int = 8, flavor: str = "minsum_lut",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        input_output_aliases={0: 0},  # in-place state (see fused variant)
         interpret=interpret,
     )(state)
 
