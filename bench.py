@@ -101,9 +101,9 @@ def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bp-batch", type=int, default=8192)
-    # measured best batches (results/hw_queue_r2: step8 SCL 8192 = 126.8k vs
-    # 118.4k at 4096; step3 wave 16384 fused = 215k vs 210k at 8192)
-    ap.add_argument("--scl-batch", type=int, default=8192)
+    # measured best batches (r3 queue step8: SCL 16384 = 308.5k vs 293.3k at
+    # 8192 with the fast kernel; step3/5: wave 16384 fused K=8 best)
+    ap.add_argument("--scl-batch", type=int, default=16384)
     ap.add_argument("--wave-batch", type=int, default=16384)
     ap.add_argument("--snr", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=8)
