@@ -79,40 +79,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polardecoding_tpu.ops.chk import chk, lut_correction
+# shared paths-in-lanes machinery — same layout contract as the third
+# generation, so these MUST stay one definition (dispatch gates on
+# frames_per_tile from both modules)
+from polardecoding_tpu.ops.pallas.scl_tree_kernel import (
+    _encode_sub,
+    _fxor,
+    _ntz32,
+    _slot,
+    frames_per_tile,
+)
 
 BIG = 1e30
 LANES = 128
 FS = 8  # max sublane frame groups per tile
-
-
-def _ntz32(x):
-    v = ((x & -x) - 1).astype(jnp.uint32)
-    v = v - ((v >> 1) & 0x55555555)
-    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
-    v = (v + (v >> 4)) & 0x0F0F0F0F
-    return ((v * 0x01010101) >> 24).astype(jnp.int32)
-
-
-def _fxor(a, b):
-    """xor of 0/1 floats."""
-    return jnp.abs(a - b)
-
-
-def _encode_sub(x, n, fs):
-    """Lee butterfly (upper ^= lower) on [N, fs, 128] 0/1 floats along the
-    LEADING axis — the tiled (fs, 128) minor pair is untouched, so Mosaic
-    lowers the reshapes."""
-    N = x.shape[0]
-    for i in range(n):
-        d = 1 << i
-        v = x.reshape(N // (2 * d), 2, d, fs, LANES)
-        up = _fxor(v[:, 0], v[:, 1])
-        x = jnp.stack([up, v[:, 1]], axis=1).reshape(N, fs, LANES)
-    return x
-
-
-def _slot(i):
-    return (1 << i) - 1, (2 << i) - 1
 
 
 # --------------------------------------------------------------------------
@@ -189,7 +169,6 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     DPF = max(1, 24 // LBITS)
     PSR = (SROWS + DPF - 1) // DPF  # physical sigma rows
     ER = 2 * (1 << S) - 1  # eager region: rows of slots 0..S
-    s0 = wloop.bit_length() - 1  # loop-node stage
 
     def roll(x, d):
         return pltpu.roll(x, d * F, axis=x.ndim - 1) if d else x
@@ -209,7 +188,6 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     # ---- static dataflow state (emission-time only) ----------------------
     clean_llr = {i: False for i in range(S + 1, n)}  # sigma digit == identity
     clean_bits = {i: False for i in range(S + 1, n)}
-    zero_bits = {i: False for i in range(n)}  # slot all-zero in EVERY lane
 
     def sigma_llr_row(i):
         return i - (S + 1)
@@ -270,7 +248,6 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     def write_bits(i, val):
         lo, hi = _slot(i)
         bits[lo:hi, :, :] = val
-        zero_bits[i] = False
         if i > S:
             sig_digit_set_identity(sigma_bits_row(i))
             clean_bits[i] = True
@@ -421,8 +398,6 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         lax.fori_loop(0, w, inner_body, jnp.int32(0))
         mark_forked()  # the traced fork() calls above ran under trace once;
         # the loop executes them w times — flags must reflect the LAST one
-        for i in range(min(nd.stage, S + 1)):
-            zero_bits[i] = False
 
         # climb: node decision block from slots 0..stage-1 + ub
         v = ub_ref[:]
@@ -459,9 +434,11 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         v_l, fk_l = process(nd.left)
 
         if v_l is None:
-            zero_bits[s - 1] = True
+            # ZERO propagation: the R0 left child's decision block is
+            # all-zero in every lane — skip the slot store; the stale slot
+            # (and its sigma digit) is never read on this path
             if s - 1 > S:
-                clean_bits[s - 1] = False  # sigma row stale; never read
+                clean_bits[s - 1] = False
         else:
             write_bits(s - 1, v_l)
 
@@ -513,14 +490,6 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         u_out_ref[:] = _encode_sub(v, n, FS).astype(jnp.int8)
     pm_out_ref[:] = pm_ref[:]
     tie_out_ref[:] = tie_ref[:].astype(jnp.int32)
-
-
-def frames_per_tile(L: int, B: int = 1 << 30) -> int:
-    F = LANES // L
-    fs = FS
-    while fs > 1 and (fs * F > B or B % (fs * F)):
-        fs //= 2
-    return fs * F
 
 
 @functools.partial(

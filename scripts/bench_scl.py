@@ -30,15 +30,17 @@ def bench_kernel(ncode, L, batch, snr=1.5, iters=8, warmup=3):
     llr = channel_llrs(p, batch, snr)
     from polardecoding_tpu.models.scl import _scl_kernel
 
-    f = jax.jit(lambda x: _scl_kernel(x, frozen, L))
-    # sync via plain device->host transfers ONLY: any eager op through the
-    # axon tunnel pays a fresh per-op remote compile (seconds to minutes)
+    # scalar-reduced output: fetching PM [B, L] per timed iteration is
+    # tunnel-bound at these batches (ab_sclfast.py lesson — the r3 first
+    # run of this script read kernel_fps BELOW full-MC fps); jnp.sum keeps
+    # the compute alive with a 4-byte readback
+    f = jax.jit(lambda x: jnp.sum(_scl_kernel(x, frozen, L)[1]))
     import numpy as np
 
     for _ in range(warmup):
-        np.asarray(f(llr)[1])
+        np.asarray(f(llr))
     t0 = time.perf_counter()
-    outs = [f(llr)[1] for _ in range(iters)]
+    outs = [f(llr) for _ in range(iters)]
     for o in outs:
         np.asarray(o)
     return (iters * batch) / (time.perf_counter() - t0)

@@ -15,9 +15,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU properly: the env exports JAX_PLATFORMS=axon, so setdefault is
+# a no-op and any transitive jnp op would touch the TPU (CLAUDE.md)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
 
-import numpy as np
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
 
 from polardecoding_tpu.ops.pallas.scl_fast_kernel import decompose
 from polardecoding_tpu.utils.sequences import frozen_mask
@@ -89,13 +94,16 @@ def model(N, K, L, wloop, S=None):
             cat["loop_combine"] += w * sum(
                 (1 << i) * 3 for i in range(nd.stage))
             return
-        # branch: f then g at stage-1 over 2^(s-1) rows, plus sigma reads
+        # branch: f then g at stage-1 over 2^(s-1) rows.  The entry read is
+        # always CLEAN (the parent wrote slot s immediately before); the
+        # g-read re-gathers through sigma only when the LEFT child emitted a
+        # fork (R0 children preserve the clean flag — kernel read_llr)
         h = 1 << (nd.stage - 1)
         cat["boundary_fg"] += h * CHK          # f
         cat["boundary_fg"] += h * 3            # g
-        if nd.stage > S + 1:
-            sig_read_cost(2 * h)               # re-gather of parent llr x2
-            sig_read_cost(2 * h)
+        left_forks = not all(fr[nd.left.off : nd.left.off + (1 << (nd.stage - 1))])
+        if nd.stage > S + 1 and left_forks:
+            sig_read_cost(2 * h)               # dirty re-gather of slot s
         walk(nd.left)
         walk(nd.right)
 
