@@ -113,12 +113,21 @@ def main():
     ap.add_argument("--unfused-wave", action="store_true",
                     help="disable the fused refill+wave+decide kernel "
                          "(default on: measured 1.12x, hw_queue_r2 step3)")
+    ap.add_argument("--prng", choices=("threefry", "rbg"), default="threefry",
+                    help="PRNG impl for channel noise.  rbg (TPU "
+                         "RngBitGenerator) measures +3.1%% wave fps but is "
+                         "REJECTED as a default: at 6.5k error blocks its "
+                         "BP_128 wave BLER reads 0.0907 vs threefry's "
+                         "0.1113 (reference 0.1127) — the per-frame "
+                         "fold_in rbg streams are statistically deficient "
+                         "(docs/ROOFLINE.md, tried-and-rejected)")
     ap.add_argument("--wave-preset", default="BP_1024_FASTCHK",
                     help="wave-engine preset; the default is the production "
                          "chk_fast flavor (A/B: +6%% throughput, BLER clean "
                          "at 1000 error blocks, hw_queue_r2 step4); pass "
                          "BP_1024 for the exact-LUT golden-parity flavor")
     args = ap.parse_args()
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     bp_fixed_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
                               args.warmup, profile_dir=args.profile)
