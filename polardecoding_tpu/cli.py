@@ -138,8 +138,8 @@ def cmd_bench(args):
     )
     mod = ilu.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    fps = mod.bench(preset_name=args.preset, batch=args.batch)
-    print(json.dumps({"preset": args.preset, "frames_per_sec": fps}))
+    fps = mod.bench_step(args.preset, args.batch)
+    print(json.dumps({"preset": args.preset, "frames_per_sec": round(fps, 1)}))
 
 
 def cmd_scale(args):

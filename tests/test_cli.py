@@ -40,3 +40,11 @@ def test_bpr_runner():
     # late checkpoints never have more info-bit errors than frames * K
     assert (E <= res.frames * p.code.K).all()
     assert res.frames >= 64
+
+
+def test_cli_bench_smoke(capsys):
+    """`cli bench` must stay wired to bench.py's real API (it silently broke
+    when bench() was renamed bench_step in round 2)."""
+    main(["bench", "--preset", "SC_128", "--batch", "64"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["preset"] == "SC_128" and out["frames_per_sec"] > 0
