@@ -156,9 +156,21 @@ def schedule_stats(frozen: Tuple[bool, ...], wloop: int = 4) -> dict:
 
 def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                      llr, bits, sig, gat, pm_ref, ub_ref, tie_ref,
-                     *, n, N, L, S, FS, frozen, wloop):
-    """Refs as scl_tree_kernel._scl_tree_kernel (same layout/scratch), except
-    the frozen mask is ALSO a static tuple: fr_ref (SMEM) is consulted only
+                     *, n, N, L, S, FS, frozen, wloop, T):
+    """Refs as scl_tree_kernel._scl_tree_kernel with a leading TILE axis of
+    size T (default 1): T independent frame tiles are decoded by ONE kernel
+    body with their op streams INTERLEAVED phase by phase.  Rationale
+    (ROOFLINE round-3 "utilization"): the fork/gather sections are chains of
+    dependent single-vreg ops — a measured microbenchmark of the exact
+    roll+mask+mul+add pattern runs at 3.8% of VPU peak for one dependent
+    chain but scales ~linearly with independent interleaved chains
+    (scripts/microbench_rolls.py: 1.92x at T=2, 3.4x at T=4) — i.e. the
+    kernel is LATENCY-bound in its hot sections, and cross-tile ILP is free
+    throughput.  The static schedule is identical for every tile, so all
+    bookkeeping (clean flags, node recursion, fori trip counts) is shared;
+    only the data streams are replicated.
+
+    The frozen mask is a static tuple: fr_ref (SMEM) is consulted only
     inside mixed/SPC loop nodes."""
     F = LANES // L
     NS = n - 1 - S  # sigma-managed stages: S+1 .. n-1
@@ -169,6 +181,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     DPF = max(1, 24 // LBITS)
     PSR = (SROWS + DPF - 1) // DPF  # physical sigma rows
     ER = 2 * (1 << S) - 1  # eager region: rows of slots 0..S
+    TR = range(T)
 
     def roll(x, d):
         return pltpu.roll(x, d * F, axis=x.ndim - 1) if d else x
@@ -178,14 +191,16 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     pidxf = pmd[0]
     REP_CONST = float(sum(L ** k for k in range(DPF)))  # identity all digits
 
-    llr[:] = jnp.zeros((N, FS, LANES), jnp.float32)
-    bits[:] = jnp.zeros((N, FS, LANES), jnp.float32)
-    sig[:] = jnp.broadcast_to(pidxf * REP_CONST, (PSR, FS, LANES))
-    pm_ref[:] = jnp.where(pidx == 0, 0.0, BIG)
-    ub_ref[:] = jnp.zeros((1, FS, LANES), jnp.float32)
-    tie_ref[:] = jnp.zeros((1, FS, LANES), jnp.float32)
+    for t in TR:
+        llr[t] = jnp.zeros((N, FS, LANES), jnp.float32)
+        bits[t] = jnp.zeros((N, FS, LANES), jnp.float32)
+        sig[t] = jnp.broadcast_to(pidxf * REP_CONST, (PSR, FS, LANES))
+        pm_ref[t] = jnp.where(pidx == 0, 0.0, BIG)
+        ub_ref[t] = jnp.zeros((1, FS, LANES), jnp.float32)
+        tie_ref[t] = jnp.zeros((1, FS, LANES), jnp.float32)
 
-    # ---- static dataflow state (emission-time only) ----------------------
+    # ---- static dataflow state (emission-time only; the schedule — and
+    # hence every flag — is IDENTICAL across tiles) -------------------------
     clean_llr = {i: False for i in range(S + 1, n)}  # sigma digit == identity
     clean_bits = {i: False for i in range(S + 1, n)}
 
@@ -195,59 +210,65 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     def sigma_bits_row(i):
         return NS + i - (S + 1)
 
-    def sig_digit(r):
+    def sig_digit(t, r):
         """Extract logical sigma row r: digit r%DPF of physical row r//DPF.
         floor-div by the power-of-two L^k and the base-L mod are exact."""
         pr, k = divmod(r, DPF)
-        x = sig[pr : pr + 1, :, :]
+        x = sig[t, pr : pr + 1, :, :]
         hi = jnp.floor(x / float(L ** k))
         return hi - float(L) * jnp.floor(hi / float(L))
 
     def sig_digit_set_identity(r):
         pr, k = divmod(r, DPF)
-        x = sig[pr : pr + 1, :, :]
-        cur_hi = jnp.floor(x / float(L ** k))
-        cur = cur_hi - float(L) * jnp.floor(cur_hi / float(L))
-        sig[pr : pr + 1, :, :] = x + (pidxf - cur) * float(L ** k)
+        for t in TR:
+            x = sig[t, pr : pr + 1, :, :]
+            cur_hi = jnp.floor(x / float(L ** k))
+            cur = cur_hi - float(L) * jnp.floor(cur_hi / float(L))
+            sig[t, pr : pr + 1, :, :] = x + (pidxf - cur) * float(L ** k)
 
     def sig_read(arr, srow, i):
-        """L-term roll-mask gather of slot(i) through sigma digit `srow`,
-        accumulated through the gat scratch ref (scl_tree_kernel notes)."""
+        """L-term roll-mask gather of slot(i) through sigma digit `srow` for
+        every tile, interleaved per roll term, accumulated through the gat
+        scratch ref (scl_tree_kernel notes).  Returns a T-list."""
         lo, hi = _slot(i)
         w = hi - lo
-        sel = sig_digit(srow)
-        src = arr[lo:hi, :, :]
-        gat[:w, :, :] = jnp.zeros((w, FS, LANES), jnp.float32)
+        sels = [sig_digit(t, srow) for t in TR]
+        srcs = [arr[t, lo:hi, :, :] for t in TR]
+        for t in TR:
+            gat[t, :w, :, :] = jnp.zeros((w, FS, LANES), jnp.float32)
         for d in range(L):
-            mask = jnp.where(sel == pmd[d], 1.0, 0.0)
-            gat[:w, :, :] = gat[:w, :, :] + mask * roll(src, d)
-        return gat[:w, :, :]
+            for t in TR:
+                mask = jnp.where(sels[t] == pmd[d], 1.0, 0.0)
+                gat[t, :w, :, :] = gat[t, :w, :, :] + mask * roll(srcs[t], d)
+        return [gat[t, :w, :, :] for t in TR]
 
     def read_llr(i):
-        """Logical-order llr of stage i (i == n -> channel)."""
+        """Logical-order llr of stage i (i == n -> channel), per tile."""
         if i == n:
-            return ch_ref[:N]
+            return [ch_ref[t, :N] for t in TR]
         lo, hi = _slot(i)
         if i <= S or clean_llr[i]:
-            return llr[lo:hi, :, :]
+            return [llr[t, lo:hi, :, :] for t in TR]
         return sig_read(llr, sigma_llr_row(i), i)
 
     def read_bits(i):
         lo, hi = _slot(i)
         if i <= S or clean_bits[i]:
-            return bits[lo:hi, :, :]
+            return [bits[t, lo:hi, :, :] for t in TR]
         return sig_read(bits, sigma_bits_row(i), i)
 
-    def write_llr(i, val):
+    def write_llr(i, vals):
         lo, hi = _slot(i)
-        llr[lo:hi, :, :] = val
+        for t in TR:
+            llr[t, lo:hi, :, :] = vals[t]
         if i > S:
             sig_digit_set_identity(sigma_llr_row(i))
             clean_llr[i] = True
 
-    def write_bits(i, val):
+    def write_bits(i, vals):
         lo, hi = _slot(i)
-        bits[lo:hi, :, :] = val
+        for t in TR:
+            bits[t, lo:hi, :, :] = vals[t]
         if i > S:
             sig_digit_set_identity(sigma_bits_row(i))
             clean_bits[i] = True
@@ -259,106 +280,128 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             clean_bits[i] = False
 
     # ---- shared fork machinery (identical semantics to scl_tree_kernel) --
-    def fork(l0, is_frozen):
-        """One 2L-candidate selection + path copy.  l0 [1, FS, LANES];
-        is_frozen is None (statically info) or a traced bool (loop nodes).
-        Leaves the chosen bit in ub_ref."""
-        absl = jnp.abs(l0)
-        base = lut_correction(absl)
-        pen0 = base + jnp.where(l0 < 0, absl, 0.0)
-        pen1 = base + jnp.where(l0 > 0, absl, 0.0)
-        pm = pm_ref[:]
-
-        cand0 = pm + pen0
-        cand1 = pm + pen1
-        rank0 = jnp.zeros((1, FS, LANES), jnp.int32)
-        rank1 = jnp.zeros((1, FS, LANES), jnp.int32)
+    def fork(l0s, is_frozen):
+        """One 2L-candidate selection + path copy per tile, phase-interleaved
+        (each phase's T emissions are independent — the ILP the VPU needs).
+        l0s: T-list of [1, FS, LANES]; is_frozen is None (statically info)
+        or a traced bool shared by every tile's predicate source (loop
+        nodes pass a per-bit SMEM read — same value for all tiles).
+        Leaves the chosen bits in ub_ref."""
+        pens = []
+        for t in TR:
+            absl = jnp.abs(l0s[t])
+            base = lut_correction(absl)
+            pen0 = base + jnp.where(l0s[t] < 0, absl, 0.0)
+            pen1 = base + jnp.where(l0s[t] > 0, absl, 0.0)
+            pens.append((pen0, pen1))
+        pms = [pm_ref[t] for t in TR]
+        cand0 = [pms[t] + pens[t][0] for t in TR]
+        cand1 = [pms[t] + pens[t][1] for t in TR]
+        rank0 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
+        rank1 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
         for d in range(L):
-            r0, r1 = roll(cand0, d), roll(cand1, d)
             silt = pmd[d] < pidxf
-            rank0 = (rank0 + ((r0 < cand0) | ((r0 == cand0) & silt))
-                     + (r1 < cand0))
-            rank1 = (rank1 + ((r0 < cand1) | (r0 == cand1))
-                     + ((r1 < cand1) | ((r1 == cand1) & silt)))
+            for t in TR:
+                r0, r1 = roll(cand0[t], d), roll(cand1[t], d)
+                rank0[t] = (rank0[t]
+                            + ((r0 < cand0[t]) | ((r0 == cand0[t]) & silt))
+                            + (r1 < cand0[t]))
+                rank1[t] = (rank1[t] + ((r0 < cand1[t]) | (r0 == cand1[t]))
+                            + ((r1 < cand1[t]) | ((r1 == cand1[t]) & silt)))
 
-        new_pm = jnp.zeros((1, FS, LANES), jnp.float32)
-        new_ub = jnp.zeros((1, FS, LANES), jnp.float32)
-        parent = jnp.zeros((1, FS, LANES), jnp.float32)
-        vLm1 = jnp.zeros((1, FS, LANES), jnp.float32)
-        vL = jnp.zeros((1, FS, LANES), jnp.float32)
+        zeros = lambda: [jnp.zeros((1, FS, LANES), jnp.float32) for _ in TR]
+        new_pm, new_ub, parent, vLm1, vL = (zeros(), zeros(), zeros(),
+                                            zeros(), zeros())
         for d in range(L):
-            rr0, rc0 = roll(rank0, d), roll(cand0, d)
-            rr1, rc1 = roll(rank1, d), roll(cand1, d)
-            m0 = jnp.where(rr0 == pidx, 1.0, 0.0)
-            m1 = jnp.where(rr1 == pidx, 1.0, 0.0)
-            new_pm = new_pm + m0 * rc0 + m1 * rc1
-            new_ub = new_ub + m1
-            parent = parent + (m0 + m1) * pmd[d]
-            if L > 1:
-                vLm1 = (vLm1 + jnp.where(rr0 == L - 1, rc0, 0.0)
-                        + jnp.where(rr1 == L - 1, rc1, 0.0))
-                vL = (vL + jnp.where(rr0 == L, rc0, 0.0)
-                      + jnp.where(rr1 == L, rc1, 0.0))
+            for t in TR:
+                rr0, rc0 = roll(rank0[t], d), roll(cand0[t], d)
+                rr1, rc1 = roll(rank1[t], d), roll(cand1[t], d)
+                m0 = jnp.where(rr0 == pidx, 1.0, 0.0)
+                m1 = jnp.where(rr1 == pidx, 1.0, 0.0)
+                new_pm[t] = new_pm[t] + m0 * rc0 + m1 * rc1
+                new_ub[t] = new_ub[t] + m1
+                parent[t] = parent[t] + (m0 + m1) * pmd[d]
+                if L > 1:
+                    vLm1[t] = (vLm1[t] + jnp.where(rr0 == L - 1, rc0, 0.0)
+                               + jnp.where(rr1 == L - 1, rc1, 0.0))
+                    vL[t] = (vL[t] + jnp.where(rr0 == L, rc0, 0.0)
+                             + jnp.where(rr1 == L, rc1, 0.0))
 
         if L > 1:
-            tie = jnp.logical_and(vLm1 == vL, vL < BIG / 2)
-            if is_frozen is not None:
-                tie = jnp.logical_and(tie, jnp.logical_not(is_frozen))
-            tie_ref[:] = tie_ref[:] + tie.astype(jnp.float32)
+            for t in TR:
+                tie = jnp.logical_and(vLm1[t] == vL[t], vL[t] < BIG / 2)
+                if is_frozen is not None:
+                    tie = jnp.logical_and(tie, jnp.logical_not(is_frozen))
+                tie_ref[t] = tie_ref[t] + tie.astype(jnp.float32)
 
-        def gather_parent(x):
-            acc = jnp.zeros(x.shape, jnp.float32)
+        if L > 1:
+            els = [llr[t, :ER, :, :] for t in TR]
+            ebs = [bits[t, :ER, :, :] for t in TR]
+            sgs = [sig[t] for t in TR]  # PSR packed rows — digit-agnostic
+            # gather through the parent map, T-interleaved per roll term
+            gel, geb, gsg = zeros(), zeros(), zeros()
+            gel = [jnp.zeros_like(els[t]) for t in TR]
+            geb = [jnp.zeros_like(ebs[t]) for t in TR]
+            gsg = [jnp.zeros_like(sgs[t]) for t in TR]
             for d in range(L):
-                mask = jnp.where(parent == pmd[d], 1.0, 0.0)
-                acc = acc + mask * roll(x, d)
-            return acc
+                for t in TR:
+                    mask = jnp.where(parent[t] == pmd[d], 1.0, 0.0)
+                    gel[t] = gel[t] + mask * roll(els[t], d)
+                    geb[t] = geb[t] + mask * roll(ebs[t], d)
+                    gsg[t] = gsg[t] + mask * roll(sgs[t], d)
+            for t in TR:
+                if is_frozen is None:
+                    llr[t, :ER, :, :] = gel[t]
+                    bits[t, :ER, :, :] = geb[t]
+                    sig[t] = gsg[t]
+                else:
+                    llr[t, :ER, :, :] = jnp.where(is_frozen, els[t], gel[t])
+                    bits[t, :ER, :, :] = jnp.where(is_frozen, ebs[t], geb[t])
+                    sig[t] = jnp.where(is_frozen, sgs[t], gsg[t])
 
-        if L > 1:
-            el = llr[:ER, :, :]
-            eb = bits[:ER, :, :]
-            sg = sig[:]  # PSR packed rows — the gather is digit-agnostic
+        for t in TR:
             if is_frozen is None:
-                llr[:ER, :, :] = gather_parent(el)
-                bits[:ER, :, :] = gather_parent(eb)
-                sig[:] = gather_parent(sg)
+                pm_ref[t] = new_pm[t]
+                ub_ref[t] = new_ub[t]
             else:
-                llr[:ER, :, :] = jnp.where(is_frozen, el, gather_parent(el))
-                bits[:ER, :, :] = jnp.where(is_frozen, eb, gather_parent(eb))
-                sig[:] = jnp.where(is_frozen, sg, gather_parent(sg))
-
-        if is_frozen is None:
-            pm_ref[:] = new_pm
-            ub_ref[:] = new_ub
-        else:
-            pm_ref[:] = jnp.where(is_frozen, pm + pen0, new_pm)
-            ub_ref[:] = jnp.where(is_frozen, jnp.zeros_like(new_ub), new_ub)
+                pm_ref[t] = jnp.where(is_frozen, pms[t] + pens[t][0],
+                                      new_pm[t])
+                ub_ref[t] = jnp.where(is_frozen, jnp.zeros_like(new_ub[t]),
+                                      new_ub[t])
         mark_forked()
 
     # ---- collapsed-node helpers ------------------------------------------
-    def descend(x, s):
-        """Vectorized all-zero-partial-sum descent: stage-s llr block x
-        [2^s, FS, LANES] -> leaf LLRs in natural leaf order.  Each level
-        emits [chk(up, dn); dn + up] per block — the exact f/g values the
-        serial schedule computes when every partner bit is 0."""
+    def descend(xs, s):
+        """Vectorized all-zero-partial-sum descent per tile: stage-s llr
+        block [2^s, FS, LANES] -> leaf LLRs in natural leaf order.  Each
+        level emits [chk(up, dn); dn + up] per block — the exact f/g values
+        the serial schedule computes when every partner bit is 0."""
         w = 1 << s
+        xs = list(xs)
         for k in range(s):
             c = 1 << k
             h = w >> (k + 1)
-            v = x.reshape(c, 2, h, FS, LANES)
-            up, dn = v[:, 0], v[:, 1]
-            x = jnp.stack([chk(up, dn), dn + up], axis=1).reshape(
-                w, FS, LANES)
-        return x
+            for t in TR:
+                v = xs[t].reshape(c, 2, h, FS, LANES)
+                up, dn = v[:, 0], v[:, 1]
+                xs[t] = jnp.stack([chk(up, dn), dn + up], axis=1).reshape(
+                    w, FS, LANES)
+        return xs
 
     def add_pen0_serial(leaves, count):
         """PM += PHI(l_j, 0) for leaves 0..count-1, accumulated IN LEAF ORDER
         (the reference's per-leaf f32 association, SCL_1024.c:663-666)."""
-        absl = jnp.abs(leaves)
-        pen0 = lut_correction(absl) + jnp.where(leaves < 0, absl, 0.0)
-        pm = pm_ref[:]
+        pen0s = []
+        for t in TR:
+            absl = jnp.abs(leaves[t])
+            pen0s.append(lut_correction(absl)
+                         + jnp.where(leaves[t] < 0, absl, 0.0))
+        pms = [pm_ref[t] for t in TR]
         for j in range(count):
-            pm = pm + pen0[j : j + 1, :, :]
-        pm_ref[:] = pm
+            for t in TR:
+                pms[t] = pms[t] + pen0s[t][j : j + 1, :, :]
+        for t in TR:
+            pm_ref[t] = pms[t]
 
     # ---- loop node (third-generation masked inner body) -------------------
     def run_loop(nd):
@@ -367,32 +410,35 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         has_frozen = nd.has_frozen
 
         def inner_body(jj, carry):
-            t = _ntz32(jj | w)
+            tz = _ntz32(jj | w)
             for i in range(nd.stage - 1, -1, -1):
                 wi = 1 << i
                 lo, hi = _slot(i)
                 slo, shi = _slot(i + 1)
-                use_g = t == i
-                use_f = t > i
-                src = llr[slo:shi, :, :]
-                up, dn = src[:wi], src[wi:]
-                pb = bits[lo:hi, :, :]
-                old = llr[lo:hi, :, :]
-                g_new = dn + (1.0 - 2.0 * pb) * up
-                f_new = chk(up, dn)
-                llr[lo:hi, :, :] = jnp.where(
-                    use_g, g_new, jnp.where(use_f, f_new, old))
+                use_g = tz == i
+                use_f = tz > i
+                for t in TR:
+                    src = llr[t, slo:shi, :, :]
+                    up, dn = src[:wi], src[wi:]
+                    pb = bits[t, lo:hi, :, :]
+                    old = llr[t, lo:hi, :, :]
+                    g_new = dn + (1.0 - 2.0 * pb) * up
+                    f_new = chk(up, dn)
+                    llr[t, lo:hi, :, :] = jnp.where(
+                        use_g, g_new, jnp.where(use_f, f_new, old))
 
             is_frozen = fr_ref[0, off + jj] == 1 if has_frozen else None
-            fork(llr[0:1, :, :], is_frozen)
+            fork([llr[t, 0:1, :, :] for t in TR], is_frozen)
 
             t1 = _ntz32(jj + 1)
-            v = ub_ref[:]
+            vs = [ub_ref[t] for t in TR]
             for i in range(nd.stage):
                 lo, hi = _slot(i)
-                old = bits[lo:hi, :, :]
-                bits[lo:hi, :, :] = jnp.where(t1 == i, v, old)
-                v = jnp.concatenate([_fxor(old, v), v], axis=0)
+                for t in TR:
+                    old = bits[t, lo:hi, :, :]
+                    bits[t, lo:hi, :, :] = jnp.where(t1 == i, vs[t], old)
+                    vs[t] = jnp.concatenate([_fxor(old, vs[t]), vs[t]],
+                                            axis=0)
             return carry
 
         lax.fori_loop(0, w, inner_body, jnp.int32(0))
@@ -400,19 +446,22 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         # the loop executes them w times — flags must reflect the LAST one
 
         # climb: node decision block from slots 0..stage-1 + ub
-        v = ub_ref[:]
+        vs = [ub_ref[t] for t in TR]
         for i in range(nd.stage):
             lo, hi = _slot(i)
-            old = bits[lo:hi, :, :]
-            v = jnp.concatenate([_fxor(old, v), v], axis=0)
-        return v
+            for t in TR:
+                old = bits[t, lo:hi, :, :]
+                vs[t] = jnp.concatenate([_fxor(old, vs[t]), vs[t]], axis=0)
+        return vs
 
     # ---- recursion --------------------------------------------------------
     def process(nd):
-        """Emit node nd.  Returns (v, forked): v = the node's decision block
-        x = encode(u_node) as a [2^stage, FS, LANES] VALUE in logical path
-        order, or None if statically all-zero; forked = whether any path
-        selection was emitted (sigma rows scrambled)."""
+        """Emit node nd.  Returns (vs, forked): vs = T-list of the node's
+        decision block x = encode(u_node) as [2^stage, FS, LANES] VALUES in
+        logical path order, or None if statically all-zero; forked = whether
+        any path selection was emitted (sigma digits scrambled).  The
+        None-ness and fork pattern are schedule properties — identical for
+        every tile."""
         if nd.kind == "r0":
             leaves = descend(read_llr(nd.stage), nd.stage)
             add_pen0_serial(leaves, 1 << nd.stage)
@@ -421,16 +470,17 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             w = 1 << nd.stage
             leaves = descend(read_llr(nd.stage), nd.stage)
             add_pen0_serial(leaves, w - 1)
-            fork(leaves[w - 1 : w, :, :], None)
-            return jnp.broadcast_to(ub_ref[:], (w, FS, LANES)), True
+            fork([leaves[t][w - 1 : w, :, :] for t in TR], None)
+            return [jnp.broadcast_to(ub_ref[t], (w, FS, LANES))
+                    for t in TR], True
         if nd.kind == "loop":
             return run_loop(nd), True
 
         # branch
         s = nd.stage
         h = 1 << (s - 1)
-        src = read_llr(s)
-        write_llr(s - 1, chk(src[:h], src[h:]))
+        srcs = read_llr(s)
+        write_llr(s - 1, [chk(srcs[t][:h], srcs[t][h:]) for t in TR])
         v_l, fk_l = process(nd.left)
 
         if v_l is None:
@@ -442,60 +492,58 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         else:
             write_bits(s - 1, v_l)
 
-        src = read_llr(s)  # re-gather if the left half forked
-        up, dn = src[:h], src[h:]
+        srcs = read_llr(s)  # re-gather if the left half forked
         if v_l is None:
-            write_llr(s - 1, dn + up)
+            write_llr(s - 1, [srcs[t][h:] + srcs[t][:h] for t in TR])
         else:
-            write_llr(s - 1, dn + (1.0 - 2.0 * v_l) * up)
+            write_llr(s - 1, [srcs[t][h:] + (1.0 - 2.0 * v_l[t]) * srcs[t][:h]
+                              for t in TR])
         v_r, fk_r = process(nd.right)
 
         if v_l is None and v_r is None:
             return None, False  # impossible by construction (parent is r0)
         if v_l is None:
-            left_x = jnp.zeros((h, FS, LANES), jnp.float32)
+            left_x = [jnp.zeros((h, FS, LANES), jnp.float32) for _ in TR]
         else:
             left_x = read_bits(s - 1)
         if v_r is None:
-            v_r = jnp.zeros((h, FS, LANES), jnp.float32)
+            v_r = [jnp.zeros((h, FS, LANES), jnp.float32) for _ in TR]
         return (
-            jnp.concatenate([_fxor(left_x, v_r), v_r], axis=0),
+            [jnp.concatenate([_fxor(left_x[t], v_r[t]), v_r[t]], axis=0)
+             for t in TR],
             fk_l or fk_r,
         )
 
     root = decompose(frozen, n, 0, wloop)
     if root.kind == "branch":
-        v, _ = process(root)
+        vs, _ = process(root)
     else:
-        # degenerate tiny-N roots (tests): route through a synthetic branch
-        # contract by reading the channel directly
+        # degenerate tiny-N roots (tests): handled via the channel directly
         if root.kind == "r0":
-            leaves = descend(ch_ref[:N], n)
+            leaves = descend([ch_ref[t, :N] for t in TR], n)
             add_pen0_serial(leaves, N)
-            v = None
+            vs = None
         elif root.kind == "rep":
-            leaves = descend(ch_ref[:N], n)
+            leaves = descend([ch_ref[t, :N] for t in TR], n)
             add_pen0_serial(leaves, N - 1)
-            fork(leaves[N - 1 : N, :, :], None)
-            v = jnp.broadcast_to(ub_ref[:], (N, FS, LANES))
+            fork([leaves[t][N - 1 : N, :, :] for t in TR], None)
+            vs = [jnp.broadcast_to(ub_ref[t], (N, FS, LANES)) for t in TR]
         else:
-            # loop root reads llr slots; seed slot(n-1)-level from channel
-            write_llr(n - 1, chk(ch_ref[: N // 2], ch_ref[N // 2 : N]))
-            # run as branch over the two halves
             raise NotImplementedError("N <= wloop roots are not supported")
 
-    if v is None:
-        u_out_ref[:] = jnp.zeros((N, FS, LANES), jnp.int8)
-    else:
-        u_out_ref[:] = _encode_sub(v, n, FS).astype(jnp.int8)
-    pm_out_ref[:] = pm_ref[:]
-    tie_out_ref[:] = tie_ref[:].astype(jnp.int32)
+    for t in TR:
+        if vs is None:
+            u_out_ref[t] = jnp.zeros((N, FS, LANES), jnp.int8)
+        else:
+            u_out_ref[t] = _encode_sub(vs[t], n, FS).astype(jnp.int8)
+        pm_out_ref[t] = pm_ref[t]
+        tie_out_ref[t] = tie_ref[t].astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret",
-                     "fs_cap"),
+                     "fs_cap", "tiles"),
 )
 def scl_decode_fast(
     ch_llr,
@@ -505,74 +553,79 @@ def scl_decode_fast(
     wloop: int = 4,
     interpret: bool = False,
     fs_cap: int = 0,
+    tiles: int = 1,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
-    STATIC tuple of bools (the compile-time mask).  Returns
+    STATIC tuple of bools (the compile-time mask).  tiles = T independent
+    frame tiles interleaved per kernel body (latency recovery — see the
+    kernel docstring); B must divide by tiles * frames_per_tile.  Returns
     (u_all [B, L, N] int8, PM [B, L] f32, ties [B] int32) — identical
     contract to scl_decode_tree/scl_decode_subtree."""
     B, N = ch_llr.shape
     n = N.bit_length() - 1
     L = list_size
+    T = tiles
     frozen = tuple(bool(b) for b in frozen)
     assert len(frozen) == N, (len(frozen), N)
     assert L <= LANES and LANES % L == 0, L
     assert wloop >= 2 and (wloop & (wloop - 1)) == 0, wloop
     assert N > wloop, (N, wloop)
+    assert T >= 1, T
     s0 = wloop.bit_length() - 1
     S = subtree or s0
     assert s0 <= S <= n - 1, (S, s0, n)
     F = LANES // L
-    fpt = frames_per_tile(L, B)
+    fpt = frames_per_tile(L, B // T)
     fs = fpt // F
     if fs_cap:  # diagnostic: shrink sublane groups per tile (latency-vs-
         fs = min(fs, fs_cap)  # throughput probe; production leaves this 0)
         fpt = fs * F
-    assert B % fpt == 0, (B, fpt)
+    assert B % (T * fpt) == 0, (B, T, fpt)
     NS = n - 1 - S
     SROWS = max(2 * NS, 1)
     LBITS = max(1, (L - 1).bit_length())
     PSR = (SROWS + max(1, 24 // LBITS) - 1) // max(1, 24 // LBITS)
 
     fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
-    C = B // fpt
-    ch_c = ch_llr.reshape(C, fs, F, N).transpose(0, 3, 1, 2)
-    ch_c = jnp.tile(ch_c, (1, 1, 1, L))  # [C, N, fs, 128]
+    C = B // (T * fpt)
+    ch_c = ch_llr.reshape(C, T, fs, F, N).transpose(0, 1, 4, 2, 3)
+    ch_c = jnp.tile(ch_c, (1, 1, 1, 1, L))  # [C, T, N, fs, 128]
 
     kernel = functools.partial(
         _scl_fast_kernel, n=n, N=N, L=L, S=S, FS=fs, frozen=frozen,
-        wloop=wloop,
+        wloop=wloop, T=T,
     )
 
     u_all_c, PM_c, ties_c = pl.pallas_call(
         kernel,
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((None, N, fs, LANES), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((None, T, N, fs, LANES), lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, N, fs, LANES), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((None, T, N, fs, LANES), lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, fs, LANES), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((None, T, 1, fs, LANES), lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, fs, LANES), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((None, T, 1, fs, LANES), lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, N, fs, LANES), jnp.int8),
-            jax.ShapeDtypeStruct((C, 1, fs, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1, fs, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((C, T, N, fs, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((C, T, 1, fs, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((C, T, 1, fs, LANES), jnp.int32),
         ),
         scratch_shapes=(
-            pltpu.VMEM((N, fs, LANES), jnp.float32),       # llr
-            pltpu.VMEM((N, fs, LANES), jnp.float32),       # bits
-            pltpu.VMEM((PSR, fs, LANES), jnp.float32),     # packed sigma
-            pltpu.VMEM((N // 2, fs, LANES), jnp.float32),  # gather acc
-            pltpu.VMEM((1, fs, LANES), jnp.float32),       # pm
-            pltpu.VMEM((1, fs, LANES), jnp.float32),       # ub
-            pltpu.VMEM((1, fs, LANES), jnp.float32),       # ties
+            pltpu.VMEM((T, N, fs, LANES), jnp.float32),       # llr
+            pltpu.VMEM((T, N, fs, LANES), jnp.float32),       # bits
+            pltpu.VMEM((T, PSR, fs, LANES), jnp.float32),     # packed sigma
+            pltpu.VMEM((T, N // 2, fs, LANES), jnp.float32),  # gather acc
+            pltpu.VMEM((T, 1, fs, LANES), jnp.float32),       # pm
+            pltpu.VMEM((T, 1, fs, LANES), jnp.float32),       # ub
+            pltpu.VMEM((T, 1, fs, LANES), jnp.float32),       # ties
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -580,8 +633,8 @@ def scl_decode_fast(
         interpret=interpret,
     )(ch_c, fr_row)
 
-    u_all = u_all_c.reshape(C, N, fs, L, F).transpose(0, 2, 4, 3, 1)
+    u_all = u_all_c.reshape(C * T, N, fs, L, F).transpose(0, 2, 4, 3, 1)
     u_all = u_all.reshape(B, L, N)
-    PM = PM_c.reshape(C, fs, L, F).transpose(0, 1, 3, 2).reshape(B, L)
-    ties = ties_c.reshape(C, fs, L, F)[:, :, 0, :].reshape(B)
+    PM = PM_c.reshape(C * T, fs, L, F).transpose(0, 1, 3, 2).reshape(B, L)
+    ties = ties_c.reshape(C * T, fs, L, F)[:, :, 0, :].reshape(B)
     return u_all, PM, ties
