@@ -127,7 +127,8 @@ def main():
                          "at 1000 error blocks, hw_queue_r2 step4); pass "
                          "BP_1024 for the exact-LUT golden-parity flavor")
     args = ap.parse_args()
-    jax.config.update("jax_default_prng_impl", args.prng)
+    jax.config.update("jax_default_prng_impl",
+                      {"threefry": "threefry2x32", "rbg": "rbg"}[args.prng])
 
     bp_fixed_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
                               args.warmup, profile_dir=args.profile)
