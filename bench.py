@@ -39,12 +39,12 @@ BASELINE_FRAMES_PER_SEC = 1e7
 
 
 def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
-               profile_dir=None, mesh=None):
+               profile_dir=None, mesh=None, encoder="mxu"):
     """frames/s of the full MC pipeline (gen + encode + channel + decode +
     count) for one preset at one SNR."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
-    step = make_frame_step(p, batch=batch, mesh=mesh)
+    step = make_frame_step(p, batch=batch, mesh=mesh, encoder=encoder)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
 
@@ -74,11 +74,12 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 
 
 def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
-                steps=12, warmup=3, mesh=None, fused=True):
+                steps=12, warmup=3, mesh=None, fused=True, encoder="mxu"):
     """Steady-state retired frames/s of the continuous-batching BP engine."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
-    init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused)
+    init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused,
+                                   encoder=encoder)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
     carry = init(key, jnp.int32(0), sigma)
@@ -121,6 +122,11 @@ def main():
                          "0.1113 (reference 0.1127) — the per-frame "
                          "fold_in rbg streams are statistically deficient "
                          "(docs/ROOFLINE.md, tried-and-rejected)")
+    ap.add_argument("--encoder", choices=("mxu", "butterfly"), default="mxu",
+                    help="refill/codeword encoder: GF(2) matmul on the MXU "
+                         "(default; bit-identical codewords, measured faster "
+                         "— docs/ROOFLINE.md 'encode on the MXU') or the "
+                         "butterfly xor-stage path")
     ap.add_argument("--wave-preset", default="BP_1024_FASTCHK",
                     help="wave-engine preset; the default is the production "
                          "chk_fast flavor (A/B: +6%% throughput, BLER clean "
@@ -131,13 +137,15 @@ def main():
                       {"threefry": "threefry2x32", "rbg": "rbg"}[args.prng])
 
     bp_fixed_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
-                              args.warmup, profile_dir=args.profile)
+                              args.warmup, profile_dir=args.profile,
+                              encoder=args.encoder)
     scl_fps = bench_step("SCL_1024_L8", args.scl_batch, args.snr, args.iters,
-                         args.warmup)
+                         args.warmup, encoder=args.encoder)
     bp_wave_fps = None
     if not args.skip_wave:
         bp_wave_fps = bench_waves(args.wave_preset, args.wave_batch, args.snr,
-                                  fused=not args.unfused_wave)
+                                  fused=not args.unfused_wave,
+                                  encoder=args.encoder)
 
     bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)

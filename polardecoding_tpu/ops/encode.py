@@ -16,7 +16,10 @@ in tests against a direct dense-graph simulator of each wiring).
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
+from jax import lax
 
 
 def polar_encode(u):
@@ -44,3 +47,38 @@ def scatter_info(payload, info_positions, N: int):
     lead = payload.shape[:-1]
     u = jnp.zeros(lead + (N,), dtype=payload.dtype)
     return u.at[..., info_positions].set(payload)
+
+
+def info_sub_generator(info_positions, N: int) -> np.ndarray:
+    """G_I: the info-position rows of F^{tensor n} as numpy uint8 [K', N],
+    so  polar_encode(scatter_info(w, I, N)) == (w . G_I) mod 2.
+
+    Host-side constant for `encode_info_mxu` (becomes a jit literal)."""
+    from polardecoding_tpu.utils.gf2 import dense_generator
+
+    return dense_generator(N)[np.asarray(info_positions)]
+
+
+def encode_info_mxu(w, g_rows) -> jnp.ndarray:
+    """Codeword x = (w . G_I) mod 2 as ONE MXU matmul — bit-exact vs the
+    butterfly path, targeting the systolic array the min/sign/LUT decode
+    arithmetic cannot use (docs/ROOFLINE.md "machine model").
+
+    The XLA-side refill work around the wave/frame-step decode kernels is a
+    measurable slice of step time (profile: scatter+encode ~2.8% of the wave
+    step at N=1024 B=16384 — many small int8 xor/reshape passes).  On the MXU
+    the whole encode is [B, K']x[K', N] bf16: 0/1 values are exact in bf16,
+    products are exact, and the f32 accumulation of at most K' <= 2^24 ones
+    is exact, so  x = acc - 2*floor(acc/2)  reproduces GF(2) exactly
+    (tested bit-equal in tests/test_encode.py).
+
+    w: [..., K'] 0/1 bits; g_rows: uint8 [K', N] from `info_sub_generator`.
+    Returns f32 0.0/1.0 [..., N].
+    """
+    acc = lax.dot_general(
+        w.astype(jnp.bfloat16),
+        jnp.asarray(g_rows, jnp.bfloat16),
+        (((w.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc - 2.0 * jnp.floor(acc * 0.5)

@@ -41,7 +41,12 @@ from polardecoding_tpu.models.bp import bp_decode_auto
 from polardecoding_tpu.models.scl import cascl_decode, sc_decode_auto, scl_decode_auto
 from polardecoding_tpu.ops.channel import awgn_llr
 from polardecoding_tpu.ops.crc import check_matrix, crc_encode_multiplicative, crc_encode_systematic
-from polardecoding_tpu.ops.encode import polar_encode, scatter_info
+from polardecoding_tpu.ops.encode import (
+    encode_info_mxu,
+    info_sub_generator,
+    polar_encode,
+    scatter_info,
+)
 from polardecoding_tpu.parallel.mesh import batch_sharding, data_mesh, round_up_batch
 from polardecoding_tpu.utils.pn import PN_PERIOD, pn_sequence
 from polardecoding_tpu.analysis.construction import code_frozen_mask, code_info_set
@@ -99,15 +104,32 @@ def payload_from_index(frame_index, pn, K: int):
     return pn[idx]
 
 
+def _make_encoder(encoder: str, info_positions, N: int) -> Callable:
+    """Codeword map w [B, K'] -> x [B, N] in {0, 1}.  "mxu" computes the
+    GF(2) product  x = (w . G_I) mod 2  as one bf16 systolic-array matmul
+    (bit-exact vs the butterfly — ops/encode.encode_info_mxu); "butterfly"
+    is the scatter + O(N log N) xor-stage path.  The mxu default comes from
+    a HW A/B on the wave refill (docs/ROOFLINE.md "encode on the MXU")."""
+    if encoder == "mxu":
+        g_rows = info_sub_generator(np.asarray(info_positions), N)
+        return lambda w: encode_info_mxu(w, g_rows)
+    assert encoder == "butterfly", encoder
+    I = jnp.asarray(info_positions)
+    return lambda w: polar_encode(scatter_info(w, I, N))
+
+
 def make_frame_step(preset: Preset, batch: int, mesh=None,
-                    llr_dtype=None, bp_engine="auto") -> Callable:
+                    llr_dtype=None, bp_engine="auto",
+                    encoder="mxu") -> Callable:
     """Build the jitted super-batch step: (key, frame_start, sigma) ->
     (errbit, errblock, pm_ties) int32 scalars summed over the batch
     (pm_ties = frames with an SCL median PM tie; 0 for non-list decoders).
 
     llr_dtype: optional message-state dtype for the decoder (e.g.
     jnp.bfloat16); channel LLRs are cast once before decode.  Default None
-    keeps the f32 production path (results/REPRODUCTION.md precision study)."""
+    keeps the f32 production path (results/REPRODUCTION.md precision study).
+    encoder: "mxu" (default) or "butterfly" — bit-identical codewords
+    (tests/test_encode.py), so every counter is encoder-independent."""
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
@@ -115,6 +137,7 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
     frozen = jnp.asarray(code_frozen_mask(code))
     pn = jnp.asarray(pn_sequence())
     crc_R = check_matrix(code.crc, num_info) if code.crc else None
+    encode = _make_encoder(encoder, code_info_set(code), N)
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
 
     def decode(llr):
@@ -147,8 +170,7 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
             w = crc_encode_systematic(payload, code.crc)
         else:
             w = crc_encode_multiplicative(payload, code.crc)
-        u = scatter_info(w, I, N)
-        x = polar_encode(u)
+        x = encode(w)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         llr = awgn_llr(x, keys, sigma)
         if llr_dtype is not None:
@@ -165,7 +187,7 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
 
 
 def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None,
-                       llr_dtype=None, bp_engine="auto"):
+                       llr_dtype=None, bp_engine="auto", encoder="mxu"):
     """Fold the SNR sweep into the batch (SURVEY §2.5 "SNR-sweep
     parallelism"): frame i runs at sigma[i % num_snr]; counters come back
     per SNR point.  One compiled step serves the whole sweep — useful for
@@ -184,6 +206,7 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None,
     frozen = jnp.asarray(code_frozen_mask(code))
     pn = jnp.asarray(pn_sequence())
     crc_R = check_matrix(code.crc, num_info) if code.crc else None
+    encode = _make_encoder(encoder, code_info_set(code), N)
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
 
     def decode(llr):
@@ -217,8 +240,7 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None,
             w = crc_encode_systematic(payload, code.crc)
         else:
             w = crc_encode_multiplicative(payload, code.crc)
-        u = scatter_info(w, I, N)
-        x = polar_encode(u)
+        x = encode(w)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         llr = awgn_llr(x, keys, sigmas[snr_idx])
         if llr_dtype is not None:
@@ -278,7 +300,8 @@ def run_fused_sweep(
 
 
 def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
-                   mesh=None, fused: bool = True) -> tuple[Callable, Callable]:
+                   mesh=None, fused: bool = True,
+                   encoder: str = "mxu") -> tuple[Callable, Callable]:
     """Continuous-batching BP stepper (the production early-stop engine).
 
     Returns (init, step):
@@ -323,12 +346,12 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
     I = jnp.asarray(code_info_set(code))
     frozen = jnp.asarray(code_frozen_mask(code))
     pn = jnp.asarray(pn_sequence())
+    encode = _make_encoder(encoder, code_info_set(code), N)
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
 
     def fresh_llr(key, fidx, sigma):
         payload = payload_from_index(fidx, pn, K)
-        u = scatter_info(payload, I, N)
-        x = polar_encode(u)
+        x = encode(payload)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         return awgn_llr(x, keys, sigma), payload
 

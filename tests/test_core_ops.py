@@ -85,6 +85,25 @@ def test_butterfly_encoder_matches_dense_generator(N):
     assert (got == want % 2).all()
 
 
+@pytest.mark.parametrize("N,K", [(128, 64), (1024, 512), (1024, 536)])
+def test_mxu_encoder_bit_equal_to_butterfly(N, K):
+    # the MXU path x = (w . G_I) mod 2 must reproduce the butterfly encode of
+    # the scattered payload EXACTLY (0/1 bf16 products exact, f32 accumulation
+    # of <= K ones exact) — it is the production refill encoder
+    from polardecoding_tpu.ops.encode import encode_info_mxu, info_sub_generator
+
+    rng = np.random.default_rng(7)
+    I = info_set(N, K)
+    g_rows = info_sub_generator(I, N)
+    w = rng.integers(0, 2, size=(64, K)).astype(np.int8)
+    want = np.asarray(polar_encode(scatter_info(jnp.asarray(w),
+                                                jnp.asarray(I), N)))
+    got = np.asarray(encode_info_mxu(jnp.asarray(w), g_rows))
+    assert got.dtype == np.float32
+    assert set(np.unique(got)) <= {0.0, 1.0}
+    assert (got.astype(np.int8) == want).all()
+
+
 def test_dense_generator_is_involution():
     G = dense_generator(32)
     assert ((G @ G) % 2 == np.eye(32)).all()

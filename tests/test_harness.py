@@ -204,6 +204,36 @@ def test_wave_step_sharding_invariance():
         assert rows[1] == rows[8], f"fused={fused}"
 
 
+def test_encoder_choice_is_counter_invariant():
+    """"mxu" (GF(2) matmul) and "butterfly" encoders produce bit-identical
+    codewords, so every step counter must match exactly — frame step (BP and
+    CRC-bearing CA-SCL widths) and the fused wave engine."""
+    import jax.numpy as jnp
+    from polardecoding_tpu.parallel.harness import make_frame_step, make_wave_step
+
+    key = jax.random.PRNGKey(3)
+    sigma = jnp.float32(10.0 ** (-2.0 / 20.0))
+    for name in ("BP_128", "CASCL_128_L8"):
+        p = preset(name)
+        outs = []
+        for enc in ("butterfly", "mxu"):
+            step = make_frame_step(p, batch=64, encoder=enc)
+            outs.append([int(v) for v in step(key, jnp.int32(0), sigma)])
+        assert outs[0] == outs[1], (name, outs)
+
+    p = preset("BP_128")
+    outs = []
+    for enc in ("butterfly", "mxu"):
+        init, step, _ = make_wave_step(p, batch=64, wave_iters=8, encoder=enc)
+        carry = init(key, jnp.int32(0), sigma)
+        rows = []
+        for _ in range(4):
+            carry, out = step(key, sigma, carry)
+            rows.append([int(v) for v in out])
+        outs.append(rows)
+    assert outs[0] == outs[1]
+
+
 def test_wave_fused_step_matches_unfused():
     """The fused wave step (refill-merge + wave + decide in one kernel —
     models/bp.bp_wave_fused) must reproduce the unfused path's per-step
