@@ -11,8 +11,8 @@ compute-bound (docs/ROOFLINE.md quantifies achieved vs peak).
 
 Butterfly exchange without reshapes: Mosaic cannot lower the [TB, G, 2, d]
 strided reshape views the jnp engine uses, so the stage-i partner exchange is
-expressed elementwise with lane rotations (P = roll-based partner swap) and
-ONE full-width CHK per half-sweep with lane-selected operands — see
+expressed elementwise with directed lane rotations (one roll per operand
+side) and ONE full-width CHK per half-sweep with lane-selected operands — see
 _sweep_update for the derivation from the reference's four butterfly
 equations (BP_128.c:357-377).  The cyclic roll wrap-around only lands on
 lanes masked out by the selects.
@@ -40,17 +40,8 @@ def _upper_mask(i, TB, N):
     return (lane & (1 << i)) == 0
 
 
-def _pswap(x, i, up):
-    """Partner exchange at distance d = 2^i along the lane axis."""
-    d = 1 << i
-    N = x.shape[1]
-    fwd = pltpu.roll(x, N - d, axis=1)  # lane p reads p + d (cyclic)
-    bwd = pltpu.roll(x, d, axis=1)  # lane p reads p - d
-    return jnp.where(up, fwd, bwd)
-
-
-def _sweep_update(Rv, Lv, i, up, chk_fn):
-    """One butterfly half-sweep with a SINGLE full-width chk.
+def _sweep_update(Rv, Lv, i, up, chk_fn, rolls=3):
+    """One butterfly half-sweep with a SINGLE full-width chk and THREE rolls.
 
     The four reference equations (BP_128.c:357-377) need, per butterfly pair
     (u, l): chk(R[u], L[l]+R[l]) at the upper lane and chk(R[u], L[u]) at the
@@ -59,21 +50,36 @@ def _sweep_update(Rv, Lv, i, up, chk_fn):
     lane-selected operands so ONE chk computes exactly the value every lane
     needs:
 
-        A = where(up, R, P(R))            # u: R[u]      l: R[u]
-        B = where(up, P(L)+P(R), P(L))    # u: L[l]+R[l] l: L[u]
-        C = chk(A, B)                     # u: chk(R,S)  l: chk(R[u], L[u])
+        S = L + R                                # summed BEFORE the roll
+        A = where(up, R, roll(R, d))             # u: R[u]      l: R[u]
+        B = where(up, roll(S, N-d), roll(L, d))  # u: L[l]+R[l] l: L[u]
+        C = chk(A, B)                            # u: chk(R,S)  l: chk(R,L)
         R' = where(up, C, R + C)
 
-    P is the cyclic-roll partner exchange; P(L+R) is formed as P(L)+P(R) to
-    reuse both rolls.  Operand selection moves values between lanes exactly
-    (no rounding), so results are bit-identical to the v1 kernel and the jnp
-    engine.  Returns the updated R (pass (Lv, Rv) swapped for the L-sweep:
-    the equations are symmetric under R<->L with the same operand pattern).
+    Upper lanes only ever read partner values from BELOW (+d, the N-d
+    forward roll) and lower lanes only from ABOVE (d), so each operand needs
+    ONE directed roll, not a full two-roll exchange; forming S = L + R once
+    before rolling replaces the v2 kernel's P(L) + P(R) (rolls move bits
+    exactly, so add-then-roll == roll-then-add bitwise) — 3 rolls + 1 add
+    where v2 paid 4 rolls + 2 selects + 1 add.  Results are bit-identical to
+    the v1/v2 kernels and the jnp engine.  Returns the updated R (pass
+    (Lv, Rv) swapped for the L-sweep: the equations are symmetric under
+    R<->L with the same operand pattern).
     """
-    PR = _pswap(Rv, i, up)
-    PL = _pswap(Lv, i, up)
-    A = jnp.where(up, Rv, PR)
-    B = jnp.where(up, PL + PR, PL)
+    d = 1 << i
+    N = Rv.shape[1]
+    if rolls == 4:  # v2 formulation, kept for the HW A/B (bit-identical)
+        fwd, bwd = pltpu.roll(Rv, N - d, axis=1), pltpu.roll(Rv, d, axis=1)
+        PR = jnp.where(up, fwd, bwd)
+        fwd, bwd = pltpu.roll(Lv, N - d, axis=1), pltpu.roll(Lv, d, axis=1)
+        PL = jnp.where(up, fwd, bwd)
+        A = jnp.where(up, Rv, PR)
+        B = jnp.where(up, PL + PR, PL)
+    else:
+        S = Lv + Rv
+        A = jnp.where(up, Rv, pltpu.roll(Rv, d, axis=1))
+        B = jnp.where(up, pltpu.roll(S, N - d, axis=1),
+                      pltpu.roll(Lv, d, axis=1))
     C = chk_fn(A, B)
     return jnp.where(up, C, Rv + C)
 
@@ -121,9 +127,7 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
             one_iteration()
             u = jnp.where(frozen, 0.0,
                           (Ls[0][:] + Rs[0][:] < 0).astype(ch.dtype))
-            x = u
-            for i in range(n):
-                x = jnp.where(ups[i], _fxor01(x, _pswap(x, i, ups[i])), x)
+            x = _gmat_encode(u, ups, n, N)
             post_hard = (ch + Rs[n][:]) < 0.0
             ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
             okm = jnp.broadcast_to(ok, (TB, N)).astype(ch.dtype)
@@ -149,6 +153,20 @@ def _bp_kernel(ch_ref, fr_ref, out_ref, Ls, Rs, *, n, N, TB, iters, chk_fn,
 def _fxor01(a, b):
     """xor of 0/1 floats."""
     return jnp.abs(a - b)
+
+
+def _gmat_encode(u, ups, n, N):
+    """In-kernel GF(2) re-encode of 0/1 float decisions (x = u·F^{⊗n}).
+
+    Only UPPER lanes xor in their partner (the stage-i butterfly writes
+    x[u] ^= x[l] and leaves x[l] alone), so each stage needs ONE forward
+    roll — the two-roll `_pswap` exchange would compute a lower-lane value
+    the select immediately discards."""
+    x = u
+    for i in range(n):
+        px = pltpu.roll(x, N - (1 << i), axis=1)
+        x = jnp.where(ups[i], _fxor01(x, px), x)
+    return x
 
 
 def _bp_wave_kernel(sin_ref, sout_ref, *, n, N, TB, iters, chk_fn):
@@ -183,7 +201,7 @@ def _bp_wave_kernel(sin_ref, sout_ref, *, n, N, TB, iters, chk_fn):
 
 
 def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
-                          done_ref, *, n, N, TB, iters, chk_fn):
+                          done_ref, *, n, N, TB, iters, chk_fn, rolls=3):
     """Refill-merge + K-iteration wave + G-matrix decide, one kernel.
 
     The unfused wave step pays three extra full-state XLA passes per wave
@@ -222,19 +240,17 @@ def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
     def one_iteration():
         for i in range(n):
             sout_ref[n + 2 + i, :, :] = _sweep_update(R(i), L(i + 1), i,
-                                                      ups[i], chk_fn)
+                                                      ups[i], chk_fn, rolls)
         for i in range(n - 1, -1, -1):
             sout_ref[i, :, :] = _sweep_update(L(i + 1), R(i), i, ups[i],
-                                              chk_fn)
+                                              chk_fn, rolls)
 
     lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
 
     frozen = R(0) > 0.0
     dt = llr_ref[:].dtype
     u = jnp.where(frozen, 0.0, (L(0) + R(0) < 0).astype(dt))
-    x = u
-    for i in range(n):
-        x = jnp.where(ups[i], _fxor01(x, _pswap(x, i, ups[i])), x)
+    x = _gmat_encode(u, ups, n, N)
     post_hard = (L(n) + R(n)) < 0.0
     ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
     u_ref[:] = (u > 0.5).astype(jnp.int8)
@@ -242,13 +258,15 @@ def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret")
+    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret", "rolls")
 )
 def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
                          flavor: str = "minsum_lut", tile: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, rolls: int = 3):
     """Fused wave advance: (state, fresh llr, retire mask) ->
-    (state', u_hat i8, done i8 [B] row flags).  retire: [B] bool."""
+    (state', u_hat i8, done i8 [B] row flags).  retire: [B] bool.
+    rolls=4 keeps the superseded two-roll-exchange sweep formulation
+    reachable for the HW A/B (bit-identical outputs either way)."""
     S2, B, N = state.shape
     n = S2 // 2 - 1
     chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
@@ -263,7 +281,8 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
     assert B % tile == 0, (B, tile)
     ret_f = jnp.broadcast_to(retire.astype(state.dtype)[:, None], (B, N))
     kernel = functools.partial(
-        _bp_wave_fused_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn
+        _bp_wave_fused_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn,
+        rolls=rolls,
     )
     state, u_hat, done = pl.pallas_call(
         kernel,

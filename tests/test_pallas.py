@@ -42,6 +42,29 @@ def test_bp_wave_fused_kernel_matches_jnp_interpret():
     assert np.array_equal(np.asarray(da), np.asarray(db))
 
 
+def test_wave_fused_rolls3_bit_equals_rolls4():
+    """The 3-roll directed-operand sweep (production) and the superseded
+    4-roll partner-exchange sweep are the same arithmetic on the same values
+    (add-then-roll == roll-then-add bitwise; each lane side reads exactly one
+    directed partner) — docs/ROOFLINE.md "Directed-roll sweep operands".
+    Pins the `rolls` A/B hook (scripts/ab_rolls.py) to bit-equality so the
+    superseded formulation stays a valid control."""
+    from polardecoding_tpu.models.bp import wave_init_state
+    from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_fused_pallas
+
+    N, K, B = 64, 32, 16
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(11)
+    state = wave_init_state(
+        jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2), fr)
+    new_llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2)
+    retire = jnp.asarray(rng.integers(0, 2, size=B).astype(bool))
+    outs = [bp_wave_fused_pallas(state, new_llr, retire, iters=5, tile=8,
+                                 interpret=True, rolls=r) for r in (3, 4)]
+    for a, b in zip(outs[0], outs[1]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bp_pallas_early_stop_matches_jnp(N=64, K=32):
     """Per-frame latched early stop: kernel and jnp engine share the check
     cadence and latch rule, so ES decisions must be bit-identical (and hence
