@@ -177,14 +177,20 @@ def _static_frozen(frozen):
         return None
 
 
+# (n, L) -> measured-best loop-node width.  Populated ONLY by hardware A/Bs
+# (ab_sclfast.py, interleaved best-of-3); absent configs fall back to the
+# minimal window 2, which won every A/B so far: every info bit forks
+# regardless of wloop, so shrinking the window only removes masked-descent
+# work and converts frozen patterns into vectorized REP/R0 nodes.
+# r3 N=1024 L=8 B=8192 kernel-only: w2 224.5k / w4 205.3k / w8 185.6k fps;
+# r3 requal: L=16 and L=32 also best at w2 (results/hw_queue_r3/).
+_WLOOP_TABLE: dict = {}
+
+
 def default_wloop(n: int, L: int) -> int:
-    """Loop-node width for the frozen-specialized kernel.  Measured on v5e
-    at N=1024 B=8192 kernel-only (best-of-3 interleaved, ab_sclfast.py):
-    L=8: w2 224.5k / w4 205.3k / w8 185.6k fps — the smallest window wins:
-    every info bit forks regardless of wloop, so shrinking the window only
-    removes masked-descent work and converts frozen patterns into
-    vectorized REP/R0 nodes."""
-    return 2
+    """Loop-node width for the frozen-specialized kernel — per-config
+    measured table with a fallback of 2 (see _WLOOP_TABLE provenance)."""
+    return _WLOOP_TABLE.get((n, L), 2)
 
 
 def _pallas_ok(B: int, N: int, L: int = 1, frozen=None) -> bool:

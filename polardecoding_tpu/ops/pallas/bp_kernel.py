@@ -66,6 +66,8 @@ def _sweep_update(Rv, Lv, i, up, chk_fn, rolls=3):
     (Lv, Rv) swapped for the L-sweep: the equations are symmetric under
     R<->L with the same operand pattern).
     """
+    assert rolls in (3, 4), rolls  # a typo'd rolls must not silently
+    # benchmark/label the 3-roll path (advisor r3)
     d = 1 << i
     N = Rv.shape[1]
     if rolls == 4:  # v2 formulation, kept for the HW A/B (bit-identical)

@@ -271,12 +271,23 @@ def run_fused_sweep(
     batch: int = 4096,
     mesh=None,
     seed: Optional[int] = None,
+    llr_dtype=None,
+    bp_engine: str = "auto",
+    encoder: str = "mxu",
 ) -> list[PointResult]:
-    """Fixed-budget sweep with all SNR points fused into every batch."""
+    """Fixed-budget sweep with all SNR points fused into every batch.
+
+    llr_dtype / bp_engine / encoder pass through to make_multisnr_step, so
+    e.g. the precision study's bf16 + jnp-engine fallback combination
+    (results/REPRODUCTION.md precision part 2) is reachable from this entry
+    point too: run_fused_sweep(..., llr_dtype=jnp.bfloat16, bp_engine="jnp").
+    """
     seed = preset.sweep.seed if seed is None else seed
     snrs = list(snr_points)
     sigmas = jnp.asarray([10.0 ** (-s / 20.0) for s in snrs], jnp.float32)
-    step = make_multisnr_step(preset, batch, len(snrs), mesh)
+    step = make_multisnr_step(preset, batch, len(snrs), mesh,
+                              llr_dtype=llr_dtype, bp_engine=bp_engine,
+                              encoder=encoder)
     key = jax.random.PRNGKey(seed)
     eb = np.zeros(len(snrs), np.int64)
     ebl = np.zeros(len(snrs), np.int64)

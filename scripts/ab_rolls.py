@@ -56,16 +56,24 @@ for rolls in (3, 4):
     variants[f"rolls{rolls}"] = jax.jit(
         lambda s, x, rm, rolls=rolls: bp_wave_fused_pallas(
             s, x, rm, iters=K, flavor="minsum_lut_fast", rolls=rolls,
-            interpret=bool(os.environ.get("PD_INTERPRET"))))  # CPU smoke
+            # CPU smoke; "0"/"" are false (PD_INTERPRET=0 was truthy before)
+            interpret=os.environ.get("PD_INTERPRET", "") not in ("", "0")))
 
 # compile + parity: one advance from identical states must agree bit-for-bit
 # (compared ON-DEVICE — fetching the 1.5 GB state over the ~10 MB/s tunnel
 # would take minutes)
 eq = jax.jit(lambda x, y: jnp.all(x == y))
+
+# upload the ~1.4 GB initial state ONCE and clone it on-device thereafter
+# (donation destroys the previous device copy; re-transferring from host
+# through the ~10 MB/s tunnel costs minutes per use — advisor r3)
+state0_dev = jnp.asarray(state0)
+clone = jax.jit(lambda s: s + 0.0)
+
 outs = {}
 for name, f in variants.items():
     t0 = time.perf_counter()
-    s, u, d = f(jnp.asarray(state0), llr, retire)
+    s, u, d = f(clone(state0_dev), llr, retire)
     outs[name] = (s, u, d)
     int(np.asarray(red(u, d)))
     print(json.dumps({"variant": name, "N": N, "B": B,
@@ -81,7 +89,7 @@ print(json.dumps({"parity": "rolls3_vs_rolls4",
 results = {name: [] for name in variants}
 for r in range(reps):
     for name, f in variants.items():
-        s, u, d = f(jnp.asarray(state0), llr, retire)
+        s, u, d = f(clone(state0_dev), llr, retire)
         int(np.asarray(red(u, d)))  # warm sync
         t0 = time.perf_counter()
         for _ in range(iters):
