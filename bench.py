@@ -74,12 +74,13 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 
 
 def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
-                steps=12, warmup=3, mesh=None, fused=True, encoder="mxu"):
+                steps=12, warmup=3, mesh=None, fused=True, encoder="mxu",
+                check_every=0):
     """Steady-state retired frames/s of the continuous-batching BP engine."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
     init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused,
-                                   encoder=encoder)
+                                   encoder=encoder, check_every=check_every)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
     carry = init(key, jnp.int32(0), sigma)
@@ -127,6 +128,10 @@ def main():
                          "(default; bit-identical codewords, measured faster "
                          "— docs/ROOFLINE.md 'encode on the MXU') or the "
                          "butterfly xor-stage path")
+    ap.add_argument("--wave-check-every", type=int, default=0,
+                    help="in-wave G-check cadence with per-frame latch "
+                         "(0 = boundary-only); candidate r4 default pending "
+                         "the HW A/B + BLER validation")
     ap.add_argument("--wave-preset", default="BP_1024_FASTCHK",
                     help="wave-engine preset; the default is the production "
                          "chk_fast flavor (A/B: +6%% throughput, BLER clean "
@@ -145,7 +150,8 @@ def main():
     if not args.skip_wave:
         bp_wave_fps = bench_waves(args.wave_preset, args.wave_batch, args.snr,
                                   fused=not args.unfused_wave,
-                                  encoder=args.encoder)
+                                  encoder=args.encoder,
+                                  check_every=args.wave_check_every)
 
     bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)

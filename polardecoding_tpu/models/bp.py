@@ -275,22 +275,46 @@ def wave_merge(state, ch_llr, retire):
     return state.at[n + 1].set(r0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "flavor"))
+@functools.partial(jax.jit, static_argnames=("iters", "flavor",
+                                              "check_every"))
 def bp_wave_fused_jnp(state, ch_llr, retire, iters: int = 8,
-                      flavor: str = "minsum_lut"):
+                      flavor: str = "minsum_lut", check_every: int = 0):
     """jnp reference for the fused wave step: merge -> advance -> decide.
     Bit-identical to the fused Pallas kernel (ops/pallas/bp_kernel.py::
-    bp_wave_fused_pallas)."""
+    bp_wave_fused_pallas), including the check_every > 0 in-wave per-frame
+    latch (a frame's (u, done) freeze at its own first passing check)."""
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
     n = state.shape[0] // 2 - 1
     state = wave_merge(state, ch_llr, retire)
-    state = bp_wave_jnp(state, iters=iters, flavor=flavor)
     frozen = state[n + 1] > 0.0
+    if check_every:
+        B, N = state.shape[1:]
+
+        def wbody(it, c):
+            st, done, u_lat = c
+            Ls = [st[i] for i in range(n + 1)]
+            Rs = [st[n + 1 + i] for i in range(n + 1)]
+            Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
+            st = jnp.stack(Ls + Rs, axis=0)
+            u, ok = wave_decide(st, frozen)
+            do = jnp.logical_or((it + 1) % check_every == 0, it + 1 == iters)
+            newly = do & ok & ~done
+            u_lat = jnp.where(newly[:, None], u, u_lat)
+            return st, done | newly, u_lat
+
+        done0 = jnp.zeros((B,), bool)
+        state, done, u_lat = lax.fori_loop(
+            0, iters, wbody, (state, done0, jnp.zeros((B, N), jnp.int8)))
+        u_fin, _ = wave_decide(state, frozen)
+        return state, jnp.where(done[:, None], u_lat, u_fin), done
+    state = bp_wave_jnp(state, iters=iters, flavor=flavor)
     u_hat, done = wave_decide(state, frozen)
     return state, u_hat, done
 
 
 def bp_wave_fused(state, ch_llr, retire, iters: int = 8,
-                  flavor: str = "minsum_lut"):
+                  flavor: str = "minsum_lut", check_every: int = 0):
     """Backend dispatch for the fused wave step (one kernel per wave:
     refill-merge + K iterations + G-matrix decide — saves the decide and
     where-merge full-state XLA passes the unfused path pays per wave)."""
@@ -298,8 +322,9 @@ def bp_wave_fused(state, ch_llr, retire, iters: int = 8,
         from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_fused_pallas
 
         return bp_wave_fused_pallas(state, ch_llr, retire, iters=iters,
-                                    flavor=flavor)
-    return bp_wave_fused_jnp(state, ch_llr, retire, iters=iters, flavor=flavor)
+                                    flavor=flavor, check_every=check_every)
+    return bp_wave_fused_jnp(state, ch_llr, retire, iters=iters,
+                             flavor=flavor, check_every=check_every)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "flavor", "checkpoints"))

@@ -203,7 +203,8 @@ def _bp_wave_kernel(sin_ref, sout_ref, *, n, N, TB, iters, chk_fn):
 
 
 def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
-                          done_ref, *, n, N, TB, iters, chk_fn, rolls=3):
+                          done_ref, *, n, N, TB, iters, chk_fn, rolls=3,
+                          check_every=0):
     """Refill-merge + K-iteration wave + G-matrix decide, one kernel.
 
     The unfused wave step pays three extra full-state XLA passes per wave
@@ -219,7 +220,16 @@ def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
     L planes 0..n and R planes 1..n.  Outputs: u_ref [TB, N] i8 hard
     decisions, done_ref [TB, N] i8 row-constant G-matrix convergence flags —
     both AFTER the K iterations, bit-identical to wave_decide on the output
-    state (models/bp.py)."""
+    state (models/bp.py).
+
+    check_every > 0 runs the G-matrix check INSIDE the iteration loop every
+    `check_every` iterations with a per-frame latch (round-3 verdict item 3):
+    a frame's (u, done) freeze at its own first passing in-wave check, so a
+    frame that momentarily satisfies the rule mid-wave retires at this wave's
+    boundary instead of paying further waves until a check happens to align.
+    The check costs ~2n of the iteration's ~2n*53 op-rows (~4 %/iteration at
+    check_every=1).  Decisions remain pure per frame.  check_every == iters
+    is bit-identical to check_every == 0 (one boundary check)."""
     # selects, not arithmetic blends: 0*x can turn -0.0 into +0.0 and the
     # merge must preserve kept state bit-exactly
     rm = ret_ref[:] > 0.5
@@ -247,28 +257,56 @@ def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
             sout_ref[i, :, :] = _sweep_update(L(i + 1), R(i), i, ups[i],
                                               chk_fn, rolls)
 
-    lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
-
     frozen = R(0) > 0.0
     dt = llr_ref[:].dtype
-    u = jnp.where(frozen, 0.0, (L(0) + R(0) < 0).astype(dt))
-    x = _gmat_encode(u, ups, n, N)
-    post_hard = (L(n) + R(n)) < 0.0
-    ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
-    u_ref[:] = (u > 0.5).astype(jnp.int8)
-    done_ref[:] = jnp.broadcast_to(ok, (TB, N)).astype(jnp.int8)
+
+    def decide():
+        """(u 0/1 f32, ok row-mask f32): G-matrix rule on current state."""
+        u = jnp.where(frozen, 0.0, (L(0) + R(0) < 0).astype(dt))
+        x = _gmat_encode(u, ups, n, N)
+        post_hard = (L(n) + R(n)) < 0.0
+        ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
+        return u, jnp.broadcast_to(ok, (TB, N)).astype(dt)
+
+    if check_every:
+        def wbody(it, c):
+            donem, u_lat = c
+            one_iteration()
+            u, okm = decide()
+            # the wave boundary always checks, whatever the cadence
+            do = jnp.logical_or((it + 1) % check_every == 0,
+                                it + 1 == iters).astype(dt)
+            newly = do * okm * (1.0 - donem)
+            u_lat = newly * u + (1.0 - newly) * u_lat
+            return jnp.maximum(donem, newly), u_lat
+
+        zf = jnp.zeros((TB, N), dt)
+        donem, u_lat = lax.fori_loop(0, iters, wbody, (zf, zf))
+        u_fin, _ = decide()
+        u = jnp.where(donem > 0.5, u_lat, u_fin)
+        u_ref[:] = (u > 0.5).astype(jnp.int8)
+        done_ref[:] = (donem > 0.5).astype(jnp.int8)
+    else:
+        lax.fori_loop(0, iters, lambda _, c: (one_iteration(), c)[1], 0)
+        u, okm = decide()
+        u_ref[:] = (u > 0.5).astype(jnp.int8)
+        done_ref[:] = (okm > 0.5).astype(jnp.int8)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret", "rolls")
+    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret", "rolls",
+                              "check_every")
 )
 def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
                          flavor: str = "minsum_lut", tile: int = 0,
-                         interpret: bool = False, rolls: int = 3):
+                         interpret: bool = False, rolls: int = 3,
+                         check_every: int = 0):
     """Fused wave advance: (state, fresh llr, retire mask) ->
     (state', u_hat i8, done i8 [B] row flags).  retire: [B] bool.
     rolls=4 keeps the superseded two-roll-exchange sweep formulation
-    reachable for the HW A/B (bit-identical outputs either way)."""
+    reachable for the HW A/B (bit-identical outputs either way).
+    check_every > 0: in-wave G-checks with a per-frame latch (see
+    _bp_wave_fused_kernel)."""
     S2, B, N = state.shape
     n = S2 // 2 - 1
     chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
@@ -284,7 +322,7 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
     ret_f = jnp.broadcast_to(retire.astype(state.dtype)[:, None], (B, N))
     kernel = functools.partial(
         _bp_wave_fused_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn,
-        rolls=rolls,
+        rolls=rolls, check_every=check_every,
     )
     state, u_hat, done = pl.pallas_call(
         kernel,

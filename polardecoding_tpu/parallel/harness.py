@@ -312,7 +312,8 @@ def run_fused_sweep(
 
 def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
                    mesh=None, fused: bool = True,
-                   encoder: str = "mxu") -> tuple[Callable, Callable]:
+                   encoder: str = "mxu",
+                   check_every: int = 0) -> tuple[Callable, Callable]:
     """Continuous-batching BP stepper (the production early-stop engine).
 
     Returns (init, step):
@@ -337,6 +338,13 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
     full-state passes; the refill of a step's retirees then happens at the
     HEAD of the next step's kernel (the merge commutes with the retire
     bookkeeping), so the carry additionally holds the pending retire mask.
+
+    check_every > 0 (fused only) additionally runs the G-matrix check every
+    `check_every` iterations INSIDE the wave kernel with a per-frame latch:
+    a frame whose rule passes mid-wave retires at this wave's boundary with
+    its first-passing decision, instead of paying further waves until a
+    boundary check happens to align (round-3 verdict item 3).  Decisions
+    stay pure in (seed, frame index, wave_iters, check_every).
     Frame issue order, per-frame decisions, and every step's counter outputs
     are bit-identical to fused=False (tested in test_harness); total issued
     frames differ only at drain time (the unfused path refills once more
@@ -366,6 +374,9 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
         return awgn_llr(x, keys, sigma), payload
 
+    assert not (check_every and not fused), \
+        "check_every needs the fused wave kernel"
+
     if fused:
         @jax.jit
         def init_fused(key, frame_start, sigma):
@@ -392,7 +403,8 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
             iters_done = jnp.where(retire, 0, iters_done)
             llr, _ = fresh_llr(key, fidx, sigma)
             state, u_hat, done = bp_wave_fused(
-                state, llr, retire, iters=wave_iters, flavor=dec.bp_flavor)
+                state, llr, retire, iters=wave_iters, flavor=dec.bp_flavor,
+                check_every=check_every)
             iters_done = iters_done + wave_iters
             retire_new = done | (iters_done >= iter_max)
             payload = payload_from_index(fidx, pn, K)
@@ -412,7 +424,8 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
             no_retire = jnp.zeros(batch, bool)
             state, u_hat, done = bp_wave_fused(
                 state, jnp.zeros((batch, N), state.dtype), no_retire,
-                iters=wave_iters, flavor=dec.bp_flavor)
+                iters=wave_iters, flavor=dec.bp_flavor,
+                check_every=check_every)
             iters_done = iters_done + wave_iters
             alive = fidx >= 0
             retire_new = (done | (iters_done >= iter_max)) & alive
@@ -505,6 +518,7 @@ def run_point_waves(
     start_state: Optional[PointResult] = None,
     log: Optional[Callable[[str], None]] = None,
     fused: bool = True,
+    check_every: int = 0,
 ) -> PointResult:
     """Adaptive MC at one SNR point on the continuous-batching BP engine."""
     sweep = preset.sweep
@@ -516,7 +530,8 @@ def run_point_waves(
     if batch is None:
         batch = round_up_batch(sweep.batch_per_device * mesh.devices.size, mesh)
     init, step, drain_step = make_wave_step(preset, batch, wave_iters, mesh,
-                                            fused=fused)
+                                            fused=fused,
+                                            check_every=check_every)
     sigma = float(10.0 ** (-snr_db / 20.0))
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
     res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)

@@ -208,19 +208,20 @@ def test_wave_step_sharding_invariance():
     p = preset("BP_128")
     key = jax.random.PRNGKey(5)
     sigma = jnp.float32(10.0 ** (-2.0 / 20.0))
-    for fused in (False, True):
+    for fused, ce in ((False, 0), (True, 0), (True, 1)):
         rows = {}
         for nd in (1, 8):
             mesh = data_mesh(jax.devices()[:nd])
             init, step, _ = make_wave_step(p, batch=64, wave_iters=8,
-                                           mesh=mesh, fused=fused)
+                                           mesh=mesh, fused=fused,
+                                           check_every=ce)
             carry = init(key, jnp.int32(0), sigma)
             out = []
             for _ in range(4):
                 carry, o = step(key, sigma, carry)
                 out.append([int(v) for v in o])
             rows[nd] = out
-        assert rows[1] == rows[8], f"fused={fused}"
+        assert rows[1] == rows[8], f"fused={fused} check_every={ce}"
 
 
 def test_encoder_choice_is_counter_invariant():

@@ -42,6 +42,49 @@ def test_bp_wave_fused_kernel_matches_jnp_interpret():
     assert np.array_equal(np.asarray(da), np.asarray(db))
 
 
+def test_bp_wave_fused_check_every_latch():
+    """In-wave per-frame G-check latch (check_every > 0, round-3 verdict
+    item 3): kernel == jnp mirror bit-for-bit at cadence 1 and 2; cadence ==
+    iters is bit-identical to the boundary-only path (one check at the
+    boundary); and the latch can only retire MORE frames, never fewer."""
+    from polardecoding_tpu.models.bp import (
+        bp_wave_fused_jnp,
+        wave_init_state,
+    )
+    from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_fused_pallas
+
+    N, K, B = 64, 32, 16
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(13)
+    state = wave_init_state(
+        jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2), fr)
+    new_llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2)
+    retire = jnp.asarray(rng.integers(0, 2, size=B).astype(bool))
+
+    for ce in (1, 2):
+        sa, ua, da = bp_wave_fused_jnp(state, new_llr, retire, iters=6,
+                                       check_every=ce)
+        sb, ub, db = bp_wave_fused_pallas(state, new_llr, retire, iters=6,
+                                          tile=8, interpret=True,
+                                          check_every=ce)
+        assert np.array_equal(np.asarray(sa), np.asarray(sb)), ce
+        assert np.array_equal(np.asarray(ua), np.asarray(ub)), ce
+        assert np.array_equal(np.asarray(da), np.asarray(db)), ce
+
+    # cadence == iters is exactly one boundary check == the ce=0 path
+    base = bp_wave_fused_pallas(state, new_llr, retire, iters=6, tile=8,
+                                interpret=True)
+    bnd = bp_wave_fused_pallas(state, new_llr, retire, iters=6, tile=8,
+                               interpret=True, check_every=6)
+    for a, b in zip(base, bnd):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # per-iteration checks retire a superset of boundary-check frames
+    _, _, d1 = bp_wave_fused_jnp(state, new_llr, retire, iters=6,
+                                 check_every=1)
+    assert bool(np.all(np.asarray(base[2]) <= np.asarray(d1)))
+
+
 def test_wave_fused_rolls3_bit_equals_rolls4():
     """The 3-roll directed-operand sweep (production) and the superseded
     4-roll partner-exchange sweep are the same arithmetic on the same values
