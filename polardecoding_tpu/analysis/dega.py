@@ -98,17 +98,31 @@ class DegaResult:
     means: np.ndarray  # stage-0 LLR means [N]
 
 
-def bpdega(N: int, K: int, snr_db: float, iters: int = 100) -> DegaResult:
+def bpdega(N: int, K: int, snr_db: float, iters: int = 100,
+           frozen=None) -> DegaResult:
     """Plain BP DE-GA prediction (BPDEGA_128.c): union-bound BLER from the
-    stage-0 left-message means after `iters` GA sweeps."""
+    stage-0 left-message means after `iters` GA sweeps.
+
+    frozen: optional [N] bool mask overriding the default 5G construction —
+    e.g. the GA-constructed BP_1024_GA code, whose MC measurement is
+    cross-validated against this prediction (the reference's GA-vs-MC
+    methodology, BPRGA_1024_W.c:1-16 / SURVEY §4.4)."""
     n = N.bit_length() - 1
     sigma = 10.0 ** (-snr_db / 20.0)
-    L, R, _ = _init_messages(N, n, K, sigma, FROZEN_R)
+    if frozen is None:
+        L, R, _ = _init_messages(N, n, K, sigma, FROZEN_R)
+        I = info_set(N, K)
+    else:
+        frozen = np.asarray(frozen, bool)
+        L = np.zeros((n + 1, N))
+        R = np.zeros((n + 1, N))
+        L[n] = 2.0 / (sigma * sigma)
+        R[0] = np.where(frozen, FROZEN_R, 0.0)
+        I = np.flatnonzero(~frozen)
     for _ in range(iters):
         L, R = ga_iteration(L, R, n, N)
-    I = info_set(N, K)
     bler = union_bound(L[0][I])
-    return DegaResult(snr_db, bler, bler / K, L[0].copy())
+    return DegaResult(snr_db, bler, bler / max(len(I), 1), L[0].copy())
 
 
 def _project_left(vals, stage, n, N):

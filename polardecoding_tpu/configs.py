@@ -59,6 +59,10 @@ class DecoderConfig:
     bp_flavor: str = "minsum_lut"  # or "spa" (exact box-plus A/B variant)
     bp_early_stop: bool = False  # extension; reference runs fixed iterations
     bpr_checkpoints: Tuple[int, ...] = (3, 6, 10, 20, 40, 80)  # BPr_128.c:18-23
+    # approximate fast-SSC-list rate-1 shortcut (scl/cascl, TPU fast kernel):
+    # min all-info block width collapsed to a bounded-fork R1 node; 0 = exact
+    # reference semantics.  Opt-in flavor, BLER-qualified like chk_fast.
+    scl_r1: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,6 +290,13 @@ PRESETS = {
             DecoderConfig("cascl", list_size=8),
             SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
             "result_128_fag.zip CA-SCL runs",
+        ),
+        _p(
+            "CASCL_128_fag_L32",
+            CodeConfig(128, 64, graph="kao", crc=CRC6_EXPONENTS),
+            DecoderConfig("cascl", list_size=32),
+            SweepConfig(1.0, 3.5, error_blocks=200, seed=1024),
+            "result_128_fag.zip:CAL32_0.dat (seed 1749)",
         ),
     ]
 }

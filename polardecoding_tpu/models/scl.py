@@ -221,11 +221,12 @@ def _pallas_ok(B: int, N: int, L: int = 1, frozen=None) -> bool:
     return B % frames_per_tile(L, B) == 0
 
 
-def _scl_kernel(ch_llr, frozen, list_size):
+def _scl_kernel(ch_llr, frozen, list_size, r1=0):
     """Dispatch: frozen-specialized fast kernel whenever the mask is static
     (every production config — measured 1.78x the per-path kernel at the
     binding N=1024 L=8 config, HW-parity-tested at all {N}x{L}); otherwise
-    the list-size-appropriate earlier generation."""
+    the list-size-appropriate earlier generation.  r1 > 0 selects the
+    approximate bounded-fork rate-1 flavor (fast kernel only)."""
     fz = _static_frozen(frozen)
     if fz is not None:
         from polardecoding_tpu.ops.pallas.scl_fast_kernel import (
@@ -234,7 +235,8 @@ def _scl_kernel(ch_llr, frozen, list_size):
 
         n = ch_llr.shape[-1].bit_length() - 1
         return scl_decode_fast(ch_llr, fz, list_size=list_size,
-                               wloop=default_wloop(n, list_size))
+                               wloop=default_wloop(n, list_size), r1=r1)
+    assert r1 == 0, "the r1 flavor needs the static-mask fast kernel"
     if list_size <= 8:
         from polardecoding_tpu.ops.pallas.scl_subtree_kernel import (
             scl_decode_subtree,
@@ -247,12 +249,15 @@ def _scl_kernel(ch_llr, frozen, list_size):
 
 
 def scl_decode_auto(ch_llr, frozen, list_size: int = 8,
-                    return_all: bool = False, return_ties: bool = False):
+                    return_all: bool = False, return_ties: bool = False,
+                    r1: int = 0):
     """Dispatch to the VMEM-resident whole-decode Pallas kernel where it
-    wins."""
+    wins.  r1 > 0 enables the approximate bounded-fork rate-1 flavor
+    (TPU fast kernel only; the jnp fallback path stays exact — flavor
+    presets are therefore TPU-backed, like the Pallas-only wave engine)."""
     B, N = ch_llr.shape
     if _pallas_ok(B, N, list_size, frozen):
-        u_all, PM, ties = _scl_kernel(ch_llr, frozen, list_size)
+        u_all, PM, ties = _scl_kernel(ch_llr, frozen, list_size, r1=r1)
         if return_all:
             return (u_all, PM, ties) if return_ties else (u_all, PM)
         best = jnp.argmin(PM, axis=-1)
@@ -297,10 +302,11 @@ def cascl_select(u_all, PM, info_positions, crc_R):
 
 
 def cascl_decode(ch_llr, frozen, info_positions, crc_R, list_size: int = 8,
-                 return_ties: bool = False):
+                 return_ties: bool = False, r1: int = 0):
     """CRC-aided SCL: SCL pass + CRC-filtered min-PM selection."""
     u_all, PM, ties = scl_decode_auto(
-        ch_llr, frozen, list_size=list_size, return_all=True, return_ties=True
+        ch_llr, frozen, list_size=list_size, return_all=True,
+        return_ties=True, r1=r1,
     )
     u_hat, _ = cascl_select(u_all, PM, info_positions, crc_R)
     return (u_hat, ties) if return_ties else u_hat

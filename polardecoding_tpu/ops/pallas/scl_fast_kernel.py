@@ -12,8 +12,10 @@ re-derived, the arithmetic is identical):
 
   * The code tree is decomposed STATICALLY (Python recursion at trace time)
     into three node kinds, exactly the classic fast-SSC node taxonomy but
-    with EXACT list semantics (no approximate rate-1/SPC shortcuts — those
-    change the survivor set; see tests/test_scl_fast.py parity suite):
+    with EXACT list semantics by default (the approximate rate-1 shortcut
+    changes the survivor set — measured, not assumed: the r1 flag enables
+    it as a separately-BLER-qualified flavor, see run_r1 and
+    tests/test_scl_fast.py's falsification test):
 
       - R0 (all-frozen, any width w): no forks, no serialization.  All
         partial sums inside are zero, so every g-update degenerates to
@@ -111,24 +113,31 @@ class _Node:
 
 
 def decompose(frozen: Tuple[bool, ...], stage: int, off: int,
-              wloop: int) -> _Node:
+              wloop: int, r1min: int = 0) -> _Node:
     """Static fast-SSC-style decomposition of the code tree on the frozen
     mask.  Collapses maximal ALIGNED all-frozen (R0) and repetition (REP)
     nodes; leaves every other fork-bearing region as width-`wloop` LOOP
-    nodes (SPC and mixed patterns keep the runtime frozen predicate)."""
+    nodes (SPC and mixed patterns keep the runtime frozen predicate).
+
+    r1min > 0 additionally collapses maximal aligned ALL-INFO blocks of
+    width >= r1min into R1 nodes (bounded-fork node-level list processing —
+    the fast-SSC-list rate-1 rule, APPROXIMATE: see the kernel's R1
+    section).  r1min = 0 (default) keeps the exact schedule."""
     w = 1 << stage
     blk = frozen[off : off + w]
     if all(blk):
         return _Node("r0", stage, off)
     if w >= 2 and all(blk[:-1]) and not blk[-1]:
         return _Node("rep", stage, off)
+    if r1min and w >= max(r1min, 2) and not any(blk):
+        return _Node("r1", stage, off)
     if w <= wloop:
         return _Node("loop", stage, off, has_frozen=any(blk))
     h = w // 2
     return _Node(
         "branch", stage, off,
-        left=decompose(frozen, stage - 1, off, wloop),
-        right=decompose(frozen, stage - 1, off + h, wloop),
+        left=decompose(frozen, stage - 1, off, wloop, r1min),
+        right=decompose(frozen, stage - 1, off + h, wloop, r1min),
     )
 
 
@@ -156,7 +165,7 @@ def schedule_stats(frozen: Tuple[bool, ...], wloop: int = 4) -> dict:
 
 def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                      llr, bits, sig, gat, pm_ref, ub_ref, tie_ref,
-                     *, n, N, L, S, FS, frozen, wloop, T):
+                     *, n, N, L, S, FS, frozen, wloop, T, ablate=(), r1=0):
     """Refs as scl_tree_kernel._scl_tree_kernel with a leading TILE axis of
     size T (default 1): T independent frame tiles are decoded by ONE kernel
     body with their op streams INTERLEAVED phase by phase.  Rationale
@@ -232,6 +241,8 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         scratch ref (scl_tree_kernel notes).  Returns a T-list."""
         lo, hi = _slot(i)
         w = hi - lo
+        if "sigread" in ablate:  # phase-cost probe: skip the gather (WRONG
+            return [arr[t, lo:hi, :, :] for t in TR]  # results, same shapes)
         sels = [sig_digit(t, srow) for t in TR]
         srcs = [arr[t, lo:hi, :, :] for t in TR]
         for t in TR:
@@ -280,13 +291,25 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             clean_bits[i] = False
 
     # ---- shared fork machinery (identical semantics to scl_tree_kernel) --
+    def gather_rows(rows, sel):
+        """Per-path value gather: out[.., lane p] = rows[.., lane sel[p]]
+        within p's frame group.  rows [R, FS, LANES] VALUES (not refs), sel
+        [1, FS, LANES] float path indices.  Same roll-mask scheme as
+        sig_read, for node-local per-path state (the R1 machinery)."""
+        out = jnp.zeros_like(rows)
+        for d in range(L):
+            mask = jnp.where(sel == pmd[d], 1.0, 0.0)
+            out = out + mask * roll(rows, d)
+        return out
+
     def fork(l0s, is_frozen):
         """One 2L-candidate selection + path copy per tile, phase-interleaved
         (each phase's T emissions are independent — the ILP the VPU needs).
         l0s: T-list of [1, FS, LANES]; is_frozen is None (statically info)
         or a traced bool shared by every tile's predicate source (loop
         nodes pass a per-bit SMEM read — same value for all tiles).
-        Leaves the chosen bits in ub_ref."""
+        Leaves the chosen bits in ub_ref.  Penalties are the reference PHI
+        pair (SCL_1024.c:481-502): pen_u = lut(|l|) + |l| on sign mismatch."""
         pens = []
         for t in TR:
             absl = jnp.abs(l0s[t])
@@ -294,20 +317,33 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             pen0 = base + jnp.where(l0s[t] < 0, absl, 0.0)
             pen1 = base + jnp.where(l0s[t] > 0, absl, 0.0)
             pens.append((pen0, pen1))
+        return fork_sel(pens, is_frozen)
+
+    def fork_sel(pens, is_frozen, extra=None):
+        """Selection + path copy on explicit candidate penalties.
+        pens: T-list of (pen0, pen1) [1, FS, LANES] rows; extra: optional
+        T-list of [R, FS, LANES] per-path VALUE rows to gather through the
+        same parent map (returned gathered; R1 carries its within-node
+        state this way).  extra requires is_frozen None."""
+        assert extra is None or is_frozen is None
         pms = [pm_ref[t] for t in TR]
         cand0 = [pms[t] + pens[t][0] for t in TR]
         cand1 = [pms[t] + pens[t][1] for t in TR]
         rank0 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
         rank1 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
-        for d in range(L):
-            silt = pmd[d] < pidxf
-            for t in TR:
-                r0, r1 = roll(cand0[t], d), roll(cand1[t], d)
-                rank0[t] = (rank0[t]
-                            + ((r0 < cand0[t]) | ((r0 == cand0[t]) & silt))
-                            + (r1 < cand0[t]))
-                rank1[t] = (rank1[t] + ((r0 < cand1[t]) | (r0 == cand1[t]))
-                            + ((r1 < cand1[t]) | ((r1 == cand1[t]) & silt)))
+        if "forkrank" in ablate:  # phase probe: trivial ranks (WRONG results)
+            rank0 = [pidx for _ in TR]
+            rank1 = [pidx for _ in TR]
+        else:
+            for d in range(L):
+                silt = pmd[d] < pidxf
+                for t in TR:
+                    r0, r1 = roll(cand0[t], d), roll(cand1[t], d)
+                    rank0[t] = (rank0[t]
+                                + ((r0 < cand0[t]) | ((r0 == cand0[t]) & silt))
+                                + (r1 < cand0[t]))
+                    rank1[t] = (rank1[t] + ((r0 < cand1[t]) | (r0 == cand1[t]))
+                                + ((r1 < cand1[t]) | ((r1 == cand1[t]) & silt)))
 
         zeros = lambda: [jnp.zeros((1, FS, LANES), jnp.float32) for _ in TR]
         new_pm, new_ub, parent, vLm1, vL = (zeros(), zeros(), zeros(),
@@ -334,7 +370,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                     tie = jnp.logical_and(tie, jnp.logical_not(is_frozen))
                 tie_ref[t] = tie_ref[t] + tie.astype(jnp.float32)
 
-        if L > 1:
+        if L > 1 and "forkeager" not in ablate:
             els = [llr[t, :ER, :, :] for t in TR]
             ebs = [bits[t, :ER, :, :] for t in TR]
             sgs = [sig[t] for t in TR]  # PSR packed rows — digit-agnostic
@@ -359,6 +395,10 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                     bits[t, :ER, :, :] = jnp.where(is_frozen, ebs[t], geb[t])
                     sig[t] = jnp.where(is_frozen, sgs[t], gsg[t])
 
+        gathered_extra = None
+        if extra is not None and L > 1:
+            gathered_extra = [gather_rows(extra[t], parent[t]) for t in TR]
+
         for t in TR:
             if is_frozen is None:
                 pm_ref[t] = new_pm[t]
@@ -369,6 +409,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                 ub_ref[t] = jnp.where(is_frozen, jnp.zeros_like(new_ub[t]),
                                       new_ub[t])
         mark_forked()
+        return gathered_extra
 
     # ---- collapsed-node helpers ------------------------------------------
     def descend(xs, s):
@@ -378,6 +419,8 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         the serial schedule computes when every partner bit is 0."""
         w = 1 << s
         xs = list(xs)
+        if "descent" in ablate:  # phase probe (WRONG results, same shapes)
+            return xs
         for k in range(s):
             c = 1 << k
             h = w >> (k + 1)
@@ -412,6 +455,8 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         def inner_body(jj, carry):
             tz = _ntz32(jj | w)
             for i in range(nd.stage - 1, -1, -1):
+                if "loopdescent" in ablate:  # phase probe (WRONG results)
+                    break
                 wi = 1 << i
                 lo, hi = _slot(i)
                 slo, shi = _slot(i + 1)
@@ -454,6 +499,119 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                 vs[t] = jnp.concatenate([_fxor(old, vs[t]), vs[t]], axis=0)
         return vs
 
+    # ---- R1 node (bounded-fork node-level list processing) ---------------
+    def row_min(x):
+        """Tree-min over the (power-of-two) leading row axis -> [1, FS, L]."""
+        w = x.shape[0]
+        while w > 1:
+            h = w // 2
+            x = jnp.minimum(x[:h], x[h:])
+            w = h
+        return x
+
+    def run_r1(nd):
+        """All-info node of width w via the fast-SSC-list rate-1 rule
+        (Hashemi/Condo/Gross bounded-fork enumeration), APPROXIMATE vs the
+        exact per-leaf schedule (the hard PM drops the lut(|l|) terms of
+        the reference PHI and evaluates flip costs on the node-level alpha
+        instead of the per-leaf LLRs) — opt-in via scl_decode_fast(r1=...),
+        BLER-qualified like chk_fast (docs/ROOFLINE.md R1 section):
+
+          * beta = hard(alpha) per path; flipping x_j costs |alpha_j|;
+          * only the t = min(L-1, w) least-reliable positions can flip in a
+            surviving path, processed in increasing-|alpha| order with the
+            SAME 2L->L rank selection (and tie-breaks) as every other fork;
+          * within-node per-path state (composed parent map sigp, packed
+            flip bits, packed flip positions) rides through each fork as
+            single gathered rows — the successive minima and their
+            positions are precomputed ONCE on the pre-fork paths, so no
+            w-row state is gathered per round; beta and the positions are
+            materialized through the composed map once at the end.
+        """
+        w = 1 << nd.stage
+        t = min(L - 1, w)
+        alphas = read_llr(nd.stage)
+        betas = [jnp.where(alphas[q] < 0.0, 1.0, 0.0) for q in TR]
+        if t == 0:  # L == 1: pure hard decision, zero hard-PM penalty
+            return betas, False
+
+        wbits = max(1, nd.stage)
+        DPW = max(1, 24 // wbits)       # packed flip positions per f32 row
+        PR = (t + DPW - 1) // DPW
+        FPR = (t + 23) // 24            # packed flip bits per f32 row
+        riota = lax.broadcasted_iota(
+            jnp.int32, (w, FS, LANES), 0).astype(jnp.float32)
+
+        # successive minima of |alpha| + first-occurrence positions, on the
+        # ORIGINAL (pre-fork) paths
+        mins = [[] for _ in TR]
+        idxs = [[] for _ in TR]
+        xm = [jnp.abs(alphas[q]) for q in TR]
+        for k in range(t):
+            for q in TR:
+                m = row_min(xm[q])
+                taken = jnp.zeros((1, FS, LANES), jnp.float32)
+                idx = jnp.zeros((1, FS, LANES), jnp.float32)
+                nxt = []
+                for j in range(w):
+                    hit = jnp.where(
+                        jnp.logical_and(xm[q][j : j + 1] == m, taken < 0.5),
+                        1.0, 0.0)
+                    nxt.append(xm[q][j : j + 1] + hit * BIG)
+                    taken = taken + hit
+                    idx = idx + hit * float(j)
+                xm[q] = jnp.concatenate(nxt, axis=0)
+                mins[q].append(m)
+                idxs[q].append(idx)
+
+        packed_idx = []
+        for q in TR:
+            rows = []
+            for pr in range(PR):
+                acc = jnp.zeros((1, FS, LANES), jnp.float32)
+                for j, k in enumerate(range(pr * DPW,
+                                            min(t, (pr + 1) * DPW))):
+                    acc = acc + idxs[q][k] * float(w ** j)
+                rows.append(acc)
+            packed_idx.append(jnp.concatenate(rows, axis=0))
+
+        sigp = [pidxf for _ in TR]  # composed within-node parent map
+        flp = [jnp.zeros((FPR, FS, LANES), jnp.float32) for _ in TR]
+        zero1 = jnp.zeros((1, FS, LANES), jnp.float32)
+        for k in range(t):
+            fr_row_k = k // 24
+            pens = []
+            for q in TR:
+                mk = gather_rows(mins[q][k], sigp[q])
+                pens.append((zero1, mk))
+            extra = [jnp.concatenate([sigp[q], flp[q]], axis=0) for q in TR]
+            gex = fork_sel(pens, None, extra=extra)
+            for q in TR:
+                sigp[q] = gex[q][0:1]
+                g = gex[q][1:]
+                flp[q] = jnp.concatenate(
+                    [g[:fr_row_k],
+                     g[fr_row_k : fr_row_k + 1] * 2.0 + ub_ref[q],
+                     g[fr_row_k + 1 :]], axis=0)
+
+        # materialize the decision block in logical path order
+        out = []
+        for q in TR:
+            x = gather_rows(betas[q], sigp[q])
+            idx_g = gather_rows(packed_idx[q], sigp[q])
+            for k in range(t):
+                pr, kk = divmod(k, DPW)
+                hi = jnp.floor(idx_g[pr : pr + 1] / float(w ** kk))
+                idxk = hi - float(w) * jnp.floor(hi / float(w))
+                rk = k // 24
+                c_end = min(t, (rk + 1) * 24) - 1  # last round in this row
+                fh = jnp.floor(flp[q][rk : rk + 1] / float(2 ** (c_end - k)))
+                flk = fh - 2.0 * jnp.floor(fh / 2.0)
+                oh = jnp.where(riota == idxk, 1.0, 0.0)
+                x = jnp.abs(x - oh * flk)
+            out.append(x)
+        return out, True
+
     # ---- recursion --------------------------------------------------------
     def process(nd):
         """Emit node nd.  Returns (vs, forked): vs = T-list of the node's
@@ -475,12 +633,17 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                     for t in TR], True
         if nd.kind == "loop":
             return run_loop(nd), True
+        if nd.kind == "r1":
+            return run_r1(nd)
 
         # branch
         s = nd.stage
         h = 1 << (s - 1)
         srcs = read_llr(s)
-        write_llr(s - 1, [chk(srcs[t][:h], srcs[t][h:]) for t in TR])
+        if "boundaryfg" in ablate:  # phase probe (WRONG results)
+            write_llr(s - 1, [srcs[t][:h] for t in TR])
+        else:
+            write_llr(s - 1, [chk(srcs[t][:h], srcs[t][h:]) for t in TR])
         v_l, fk_l = process(nd.left)
 
         if v_l is None:
@@ -493,7 +656,9 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             write_bits(s - 1, v_l)
 
         srcs = read_llr(s)  # re-gather if the left half forked
-        if v_l is None:
+        if "boundaryfg" in ablate:
+            write_llr(s - 1, [srcs[t][h:] for t in TR])
+        elif v_l is None:
             write_llr(s - 1, [srcs[t][h:] + srcs[t][:h] for t in TR])
         else:
             write_llr(s - 1, [srcs[t][h:] + (1.0 - 2.0 * v_l[t]) * srcs[t][:h]
@@ -514,8 +679,8 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             fk_l or fk_r,
         )
 
-    root = decompose(frozen, n, 0, wloop)
-    if root.kind == "branch":
+    root = decompose(frozen, n, 0, wloop, r1min=r1)
+    if root.kind in ("branch", "r1"):
         vs, _ = process(root)
     else:
         # degenerate tiny-N roots (tests): handled via the channel directly
@@ -543,7 +708,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret",
-                     "fs_cap", "tiles"),
+                     "fs_cap", "tiles", "ablate", "r1"),
 )
 def scl_decode_fast(
     ch_llr,
@@ -554,13 +719,25 @@ def scl_decode_fast(
     interpret: bool = False,
     fs_cap: int = 0,
     tiles: int = 1,
+    ablate: str = "",
+    r1: int = 0,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
     STATIC tuple of bools (the compile-time mask).  tiles = T independent
     frame tiles interleaved per kernel body (latency recovery — see the
     kernel docstring); B must divide by tiles * frames_per_tile.  Returns
     (u_all [B, L, N] int8, PM [B, L] f32, ties [B] int32) — identical
-    contract to scl_decode_tree/scl_decode_subtree."""
+    contract to scl_decode_tree/scl_decode_subtree.
+
+    ablate: comma-separated phase names to STUB OUT for cost attribution
+    (docs/ROOFLINE.md "phase ablation"): sigread, forkrank, forkeager,
+    loopdescent, descent, boundaryfg.  Ablated kernels produce WRONG decode
+    results with identical shapes/dataflow — measurement-only.
+
+    r1 > 0 enables the APPROXIMATE fast-SSC-list rate-1 shortcut on all-info
+    blocks of width >= r1 (bounded forks, hard PM — see run_r1).  Opt-in
+    flavor: NOT bit-parity with the exact schedule; qualified by the
+    chk_fast 1000-error-block BLER protocol (docs/ROOFLINE.md)."""
     B, N = ch_llr.shape
     n = N.bit_length() - 1
     L = list_size
@@ -594,6 +771,7 @@ def scl_decode_fast(
     kernel = functools.partial(
         _scl_fast_kernel, n=n, N=N, L=L, S=S, FS=fs, frozen=frozen,
         wloop=wloop, T=T,
+        ablate=tuple(s for s in ablate.split(",") if s), r1=r1,
     )
 
     u_all_c, PM_c, ties_c = pl.pallas_call(

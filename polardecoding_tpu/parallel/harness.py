@@ -152,10 +152,11 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
             return sc_decode_auto(llr, frozen), None
         if dec.kind == "scl":
             return scl_decode_auto(llr, frozen, list_size=dec.list_size,
-                                   return_ties=True)
+                                   return_ties=True, r1=dec.scl_r1)
         if dec.kind == "cascl":
             return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
-                                list_size=dec.list_size, return_ties=True)
+                                list_size=dec.list_size, return_ties=True,
+                                r1=dec.scl_r1)
         raise ValueError(f"unknown decoder kind {dec.kind!r}")
 
     @jax.jit
@@ -221,10 +222,11 @@ def make_multisnr_step(preset: Preset, batch: int, num_snr: int, mesh=None,
             return sc_decode_auto(llr, frozen), None
         if dec.kind == "scl":
             return scl_decode_auto(llr, frozen, list_size=dec.list_size,
-                                   return_ties=True)
+                                   return_ties=True, r1=dec.scl_r1)
         if dec.kind == "cascl":
             return cascl_decode(llr, frozen, tuple(np.asarray(I)), crc_R,
-                                list_size=dec.list_size, return_ties=True)
+                                list_size=dec.list_size, return_ties=True,
+                                r1=dec.scl_r1)
         raise ValueError(f"unknown decoder kind {dec.kind!r}")
 
     @jax.jit

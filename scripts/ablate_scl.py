@@ -1,0 +1,79 @@
+"""Phase-cost attribution of the frozen-specialized SCL kernel by ABLATION
+(round-3 verdict item 1b): each variant stubs out one phase of the kernel
+(scl_decode_fast(ablate=...) — WRONG results, identical shapes/dataflow) and
+the fps delta vs the full kernel measures that phase's real cost, to be set
+against scripts/op_model.py's per-category row counts.
+
+Methodology: kernel-only, outputs reduced to one on-device scalar (PM fetch
+saturates the tunnel — ab_sclfast.py note), >=1 s windows, interleaved
+round-robin reps, best-of-reps.
+
+Usage: python scripts/ablate_scl.py [N] [L] [B] [iters] [reps]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polardecoding_tpu.ops.pallas.scl_fast_kernel import scl_decode_fast
+from polardecoding_tpu.utils.sequences import frozen_mask
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+iters = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+PHASES = ("", "sigread", "forkeager", "forkrank", "loopdescent", "descent",
+          "boundaryfg")
+
+frt = tuple(bool(b) for b in np.asarray(frozen_mask(N, N // 2)))
+rng = np.random.default_rng(0)
+llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2)
+
+
+def _scalar(out):
+    return jnp.sum(out[1]) + jnp.sum(out[2])
+
+
+variants = {}
+for ph in PHASES:
+    name = ph or "full"
+    variants[name] = jax.jit(
+        lambda x, ph=ph: _scalar(scl_decode_fast(x, frt, list_size=L,
+                                                 wloop=2, ablate=ph)))
+
+for name, f in variants.items():
+    t0 = time.perf_counter()
+    float(np.asarray(f(llr)))
+    print(json.dumps({"variant": name, "N": N, "L": L,
+                      "compile_plus_first_s":
+                      round(time.perf_counter() - t0, 1)}), flush=True)
+
+results = {name: [] for name in variants}
+for r in range(reps):
+    for name, f in variants.items():
+        np.asarray(f(llr))  # re-warm
+        t0 = time.perf_counter()
+        window = [f(llr) for _ in range(iters)]
+        for o in window:
+            np.asarray(o)
+        results[name].append(iters * B / (time.perf_counter() - t0))
+
+full = max(results["full"])
+for name, fpss in results.items():
+    best = max(fpss)
+    # share of full-kernel time attributable to the ablated phase
+    share = 0.0 if name == "full" else 1.0 - full / best
+    print(json.dumps({"variant": name, "N": N, "L": L, "B": B,
+                      "best_fps": round(best, 1),
+                      "time_share_of_full": round(share, 4),
+                      "reps": [round(v) for v in fpss]}), flush=True)

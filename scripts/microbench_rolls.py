@@ -68,6 +68,71 @@ def _chk_kernel(x_ref, o_ref, acc, *, iters, rows):
     o_ref[:] = acc[:]
 
 
+def _gather_rows_kernel(x_ref, o_ref, acc, *, iters, L, rows):
+    """The kernel's MULTI-ROW roll-mask gather (sig_read / fork eager copy):
+    rows x {roll + cmp-mask + mul + add} per of L terms, rows independent —
+    the calibration row for boundary_sigread / fork_eager / fork_gather."""
+    pidx = lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 2) // (LANES // L)
+    pmd = [(pidx - d) % L for d in range(L)]
+    acc[:] = x_ref[:]
+
+    def body(i, c):
+        a = acc[:]
+        out = jnp.zeros((rows, 8, LANES), jnp.float32)
+        for d in range(L):
+            m = jnp.where(pmd[d] == pidx, 1.0, 0.0)
+            out = out + m * pltpu.roll(a, d * (LANES // L), axis=2)
+        acc[:] = out * 0.5
+        return c
+
+    lax.fori_loop(0, iters, body, jnp.int32(0))
+    o_ref[:] = acc[:]
+
+
+def _lut_kernel(x_ref, o_ref, acc, *, iters, rows):
+    """The 8-bin LUT ladder alone (7 cmp + 7 sel per lookup) — calibrates
+    the LUT=14 weight that dominates chk/PHI."""
+    from polardecoding_tpu.ops.chk import lut_correction
+
+    acc[:] = x_ref[:]
+
+    def body(i, c):
+        a = acc[:]
+        acc[:] = a * 0.9999 + lut_correction(jnp.abs(a)) * 0.001
+        return c
+
+    lax.fori_loop(0, iters, body, jnp.int32(0))
+    o_ref[:] = acc[:]
+
+
+def _rank_kernel(x_ref, o_ref, acc, *, iters, L):
+    """The fork's 2L-candidate rank pattern: per d, 2 rolls + 6 cmp/or +
+    4 add on single rows — calibrates fork_rank."""
+    pidx = lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 2) // (LANES // L)
+    pidxf = ((pidx - 0) % L).astype(jnp.float32)
+    pmd = [((pidx - d) % L).astype(jnp.float32) for d in range(L)]
+    acc[:] = x_ref[:]
+
+    def body(i, c):
+        c0 = acc[:]
+        c1 = c0 * 1.0001
+        rank0 = jnp.zeros((1, 8, LANES), jnp.int32)
+        rank1 = jnp.zeros((1, 8, LANES), jnp.int32)
+        for d in range(L):
+            silt = pmd[d] < pidxf
+            r0 = pltpu.roll(c0, d * (LANES // L), axis=2)
+            r1 = pltpu.roll(c1, d * (LANES // L), axis=2)
+            rank0 = rank0 + ((r0 < c0) | ((r0 == c0) & silt)) + (r1 < c0)
+            rank1 = rank1 + ((r0 < c1) | (r0 == c1)) \
+                + ((r1 < c1) | ((r1 == c1) & silt))
+        acc[:] = c0 * 0.9999 + rank0.astype(jnp.float32) * 1e-6 \
+            + rank1.astype(jnp.float32) * 1e-6
+        return c
+
+    lax.fori_loop(0, iters, body, jnp.int32(0))
+    o_ref[:] = acc[:]
+
+
 def run(kind, iters, L=8, rows=8):
     rng = np.random.default_rng(0)
     if kind == "gather":
@@ -75,6 +140,21 @@ def run(kind, iters, L=8, rows=8):
         kern = functools.partial(_gather_kernel, iters=iters, L=L)
         # per fori iteration: L x (roll + cmp-mask + mul + add) on 1 row
         ops_per_iter = L * 4 * 8 * LANES
+    elif kind == "gather_rows":
+        shape = (rows, 8, LANES)
+        kern = functools.partial(_gather_rows_kernel, iters=iters, L=L,
+                                 rows=rows)
+        ops_per_iter = L * 4 * rows * 8 * LANES
+    elif kind == "lut":
+        shape = (rows, 8, LANES)
+        kern = functools.partial(_lut_kernel, iters=iters, rows=rows)
+        # lut = 7 cmp + 7 sel (+ abs + mul/add harness = 4)
+        ops_per_iter = (14 + 4) * rows * 8 * LANES
+    elif kind == "rank":
+        shape = (1, 8, LANES)
+        kern = functools.partial(_rank_kernel, iters=iters, L=L)
+        # per d: 2 rolls + ~10 cmp/or/add rows, + ~5 harness ops
+        ops_per_iter = (L * 12 + 5) * 8 * LANES
     else:
         shape = (rows, 8, LANES)
         kern = functools.partial(_chk_kernel, iters=iters, rows=rows)
@@ -102,6 +182,11 @@ def main():
     args = ap.parse_args()
     PEAK = 3.85e12
     for kind, kw in (("gather", {"L": 8}), ("gather", {"L": 32}),
+                     ("gather_rows", {"L": 8, "rows": 8}),
+                     ("gather_rows", {"L": 8, "rows": 32}),
+                     ("gather_rows", {"L": 8, "rows": 128}),
+                     ("lut", {"rows": 8}), ("lut", {"rows": 32}),
+                     ("rank", {"L": 8}),
                      ("chkrow", {"rows": 8}), ("chkrow", {"rows": 64})):
         ops = run(kind if kind != "chkrow" else "chk", args.iters, **kw)
         print(json.dumps({"pattern": kind, **kw,

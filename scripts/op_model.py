@@ -37,12 +37,12 @@ CHK = 2 * LUT + 9      # chk: 2 LUTs + sign/min/abs/add chain
 PEN = LUT + 6          # one PHI penalty pair shares the LUT
 
 
-def model(N, K, L, wloop, S=None):
+def model(N, K, L, wloop, S=None, r1=0):
     n = N.bit_length() - 1
     s0 = wloop.bit_length() - 1
     S = S or s0
     fr = tuple(bool(b) for b in np.asarray(frozen_mask(N, K)))
-    root = decompose(fr, n, 0, wloop)
+    root = decompose(fr, n, 0, wloop, r1min=r1)
 
     ER = 2 * (1 << S) - 1
     LBITS = max(1, (L - 1).bit_length())
@@ -52,7 +52,8 @@ def model(N, K, L, wloop, S=None):
     cat = {"fork_rank": 0.0, "fork_gather": 0.0, "fork_eager": 0.0,
            "fork_tie": 0.0, "loop_descent": 0.0, "loop_combine": 0.0,
            "node_descent": 0.0, "node_pm": 0.0, "boundary_fg": 0.0,
-           "boundary_sigread": 0.0, "epilogue": 0.0}
+           "boundary_sigread": 0.0, "epilogue": 0.0, "r1_minima": 0.0,
+           "r1_state": 0.0, "r1_materialize": 0.0}
 
     def fork():
         # rank: per d: 2 rolls + ~10 cmp/or/add rows
@@ -78,6 +79,24 @@ def model(N, K, L, wloop, S=None):
             cat["node_descent"] += nd.stage * w * (CHK + 1) / 2
             cat["node_pm"] += (w - 1) * (PEN + 1)
             fork()
+            return
+        if nd.kind == "r1":
+            # bounded-fork node-level processing (scl_fast_kernel.run_r1)
+            t = min(L - 1, w)
+            # successive minima: per round, tree-min (~w) + first-onehot
+            # scan (~4w) on |alpha|
+            cat["r1_minima"] += t * 5 * w + w  # + |alpha|
+            # per round: m_k gather (L rolls*3) + sigp/flip-row gathers
+            # through the fork's parent map (small packed rows)
+            FPR = (t + 23) // 24
+            wbits = max(1, nd.stage)
+            PRp = (t + max(1, 24 // wbits) - 1) // max(1, 24 // wbits)
+            cat["r1_state"] += t * (3 * L + (1 + FPR) * 3 * L + 6)
+            for _ in range(t):
+                fork()
+            # final materialization: beta + packed-idx gathers + t one-hot
+            # flip applications over w rows
+            cat["r1_materialize"] += (w + PRp) * 3 * L + t * (3 * w + 6)
             return
         if nd.kind == "loop":
             # per bit: masked pass over stages < stage: rows = 2^i each with
@@ -128,4 +147,5 @@ if __name__ == "__main__":
     K = int(sys.argv[2]) if len(sys.argv) > 2 else N // 2
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     wloop = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-    print(json.dumps(model(N, K, L, wloop), indent=1))
+    r1 = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    print(json.dumps(model(N, K, L, wloop, r1=r1), indent=1))

@@ -105,6 +105,78 @@ def test_scl_fast_n128():
     _parity(np.asarray(frozen_mask(128, 64)), 8, B=16)
 
 
+def test_twin_exact_mode_matches_oracle():
+    """The numpy float32 twin (tests/scl_fast_ref.py) in exact mode is
+    bit-identical to models/scl.scl_decode — proving the twin before it is
+    used as the R1 flavor's oracle."""
+    from scl_fast_ref import decode_batch
+
+    rng = np.random.default_rng(7)
+    for fr, L, wloop in [(MIXED32, 4, 2), (MIXED32, 8, 4),
+                         (np.asarray(frozen_mask(32, 20)), 4, 2),
+                         (np.asarray(frozen_mask(32, 20)), 1, 2)]:
+        N = len(fr)
+        llr = (rng.normal(size=(12, N)) * 3).astype(np.float32)
+        ua, pma, ta = scl_decode(jnp.asarray(llr), jnp.asarray(fr),
+                                 list_size=L, return_all=True,
+                                 return_ties=True)
+        ub, pmb, tb = decode_batch(llr, fr, L, wloop=wloop, r1min=0)
+        assert (np.asarray(ua) == ub).all()
+        assert (np.asarray(pma) == pmb).all()
+        assert (np.asarray(ta) == tb).all()
+
+
+@pytest.mark.parametrize("fr,L,r1,B", [
+    (np.zeros(32, bool), 4, 2, 32),   # root R1 (w=32, t=3)
+    (np.zeros(16, bool), 8, 2, 16),   # root R1 w=16, t=7
+    (np.asarray(frozen_mask(32, 20)), 4, 2, 32),
+    (np.asarray(frozen_mask(32, 20)), 8, 4, 32),
+    (np.asarray(frozen_mask(64, 32)), 2, 2, 64),
+])
+def test_scl_fast_r1_matches_twin(fr, L, r1, B):
+    """The kernel's R1 nodes (bounded-fork rate-1 rule, run_r1) must equal
+    the numpy twin bit-for-bit: decoded paths, PMs, tie counters — across
+    root-R1 codes and R1 blocks composed inside real 5G trees."""
+    from scl_fast_ref import decode_batch
+
+    N = len(fr)
+    rng = np.random.default_rng(3)
+    llr = (rng.normal(size=(B, N)) * 3).astype(np.float32)
+    ua, pma, ta = decode_batch(llr, fr, L, wloop=2, r1min=r1)
+    frt = tuple(bool(b) for b in fr)
+    ub, pmb, tb = scl_decode_fast(jnp.asarray(llr), frt, list_size=L,
+                                  wloop=2, r1=r1, interpret=True)
+    assert (ua == np.asarray(ub)).all()
+    assert (pma == np.asarray(pmb)).all()
+    assert (ta == np.asarray(tb)).all()
+
+
+def test_scl_fast_r1_diverges_from_exact():
+    """Falsification witness (round-3 verdict item 2): the R1 shortcut is
+    NOT survivor-set-preserving under the reference PHI — the hard PM drops
+    the path-dependent lut(|l|) terms, so cross-path rankings change.  With
+    seed 1024 at N=32 K=20 L=4 (channel-like LLRs, mean 2.0, sigma 2.5),
+    frame 3 of the first chunk already decodes differently; ~16 % of frames
+    diverge at this config.  This is WHY r1 ships as an opt-in flavor
+    qualified by the 1000-error-block BLER protocol, never as bit-parity."""
+    from scl_fast_ref import decode_batch
+
+    fr = np.asarray(frozen_mask(32, 20))
+    rng = np.random.default_rng(1024)
+    llr = (rng.normal(size=(64, 32)) * 2.5 + 2.0).astype(np.float32)
+    ua, pma = scl_decode(jnp.asarray(llr), jnp.asarray(fr), list_size=4,
+                         return_all=True)
+    ub, pmb, _ = decode_batch(llr, fr, 4, wloop=2, r1min=2)
+    ba = np.take_along_axis(
+        np.asarray(ua),
+        np.asarray(jnp.argmin(pma, axis=-1))[:, None, None], axis=1)[:, 0]
+    bb = np.take_along_axis(
+        ub, np.argmin(pmb, axis=-1)[:, None, None], axis=1)[:, 0]
+    d = (ba != bb).any(axis=1)
+    assert d.any(), "expected divergence did not occur"
+    assert d[3], "the documented counterexample frame must diverge"
+
+
 def test_decompose_covers_and_stats():
     """The static decomposition tiles the leaf range exactly once, and
     schedule_stats counts what decompose emits."""
