@@ -589,10 +589,16 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             for q in TR:
                 sigp[q] = gex[q][0:1]
                 g = gex[q][1:]
-                flp[q] = jnp.concatenate(
-                    [g[:fr_row_k],
-                     g[fr_row_k : fr_row_k + 1] * 2.0 + ub_ref[q],
-                     g[fr_row_k + 1 :]], axis=0)
+                # Mosaic rejects zero-row slices: only materialize the
+                # non-empty neighbors of the shifted row
+                parts = []
+                if fr_row_k > 0:
+                    parts.append(g[:fr_row_k])
+                parts.append(g[fr_row_k : fr_row_k + 1] * 2.0 + ub_ref[q])
+                if fr_row_k + 1 < FPR:
+                    parts.append(g[fr_row_k + 1 :])
+                flp[q] = (jnp.concatenate(parts, axis=0)
+                          if len(parts) > 1 else parts[0])
 
         # materialize the decision block in logical path order
         out = []
