@@ -543,24 +543,30 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             jnp.int32, (w, FS, LANES), 0).astype(jnp.float32)
 
         # successive minima of |alpha| + first-occurrence positions, on the
-        # ORIGINAL (pre-fork) paths
+        # ORIGINAL (pre-fork) paths.  Lexicographic (value, index) tree-
+        # argmin: log2(w) PARALLEL fold levels instead of a length-w serial
+        # first-occurrence scan (the scan was a dependent 1-vreg chain —
+        # exactly the issue-latency worst case the microbench quantifies).
+        # Ties break toward the smaller index == first occurrence, so the
+        # values are identical to the serial formulation (twin unchanged).
+        def row_argmin(v, ix):
+            while v.shape[0] > 1:
+                h = v.shape[0] // 2
+                av, bv = v[:h], v[h:]
+                ai, bi = ix[:h], ix[h:]
+                tb = jnp.logical_or(bv < av,
+                                    jnp.logical_and(bv == av, bi < ai))
+                v = jnp.where(tb, bv, av)
+                ix = jnp.where(tb, bi, ai)
+            return v, ix
+
         mins = [[] for _ in TR]
         idxs = [[] for _ in TR]
         xm = [jnp.abs(alphas[q]) for q in TR]
         for k in range(t):
             for q in TR:
-                m = row_min(xm[q])
-                taken = jnp.zeros((1, FS, LANES), jnp.float32)
-                idx = jnp.zeros((1, FS, LANES), jnp.float32)
-                nxt = []
-                for j in range(w):
-                    hit = jnp.where(
-                        jnp.logical_and(xm[q][j : j + 1] == m, taken < 0.5),
-                        1.0, 0.0)
-                    nxt.append(xm[q][j : j + 1] + hit * BIG)
-                    taken = taken + hit
-                    idx = idx + hit * float(j)
-                xm[q] = jnp.concatenate(nxt, axis=0)
+                m, idx = row_argmin(xm[q], riota)
+                xm[q] = xm[q] + jnp.where(riota == idx, BIG, 0.0)
                 mins[q].append(m)
                 idxs[q].append(idx)
 

@@ -34,7 +34,8 @@ L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
 iters = int(sys.argv[4]) if len(sys.argv) > 4 else 24
 reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
-R1S = (0, 2, 4, 8)
+R1S = tuple(int(v) for v in
+            os.environ.get("PD_R1S", "0,2,4,8").split(","))
 
 fr_np = np.asarray(frozen_mask(N, N // 2))
 frt = tuple(bool(b) for b in fr_np)

@@ -32,8 +32,11 @@ L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
 iters = int(sys.argv[4]) if len(sys.argv) > 4 else 24
 reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
-PHASES = ("", "sigread", "forkeager", "forkrank", "loopdescent", "descent",
-          "boundaryfg")
+# descent/boundaryfg ablations exist in the kernel but are dropped from the
+# default sweep: they stub the exact decoder's own f/g arithmetic (cost
+# inferable from the microbench-calibrated model), and each variant costs a
+# full ~10 min Mosaic compile at N=1024 (compile budget note in ROOFLINE)
+PHASES = ("", "sigread", "forkeager", "forkrank", "loopdescent")
 
 frt = tuple(bool(b) for b in np.asarray(frozen_mask(N, N // 2)))
 rng = np.random.default_rng(0)

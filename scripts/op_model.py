@@ -2,11 +2,31 @@
 
 Walks the SAME static schedule the kernel emits (scl_fast_kernel.decompose)
 and counts vector-row operations (one row = an (8, 128) f32 vreg op) per
-category, then converts to VPU lane-ops per frame.  No hardware needed; the
-measured fps divided by the model bound gives the utilization figure the
-round-2 verdict asked to track (item 4).
+category.  Two bounds are produced:
 
-Usage: python scripts/op_model.py [N] [K] [L] [wloop]
+  * nominal: rows x 8 x 128 lanes against the 3.85 T lane-op/s VPU peak —
+    the round-2/3 figure, which assumed every vreg op issues at peak;
+  * latency-floor (round 4): each emission is weighted by the sustained
+    fraction of peak Mosaic achieves for fully DEPENDENT chains of ops on a
+    block of that HEIGHT (rows of (8,128) vregs), measured by
+    scripts/microbench_rolls.py on the real chip:
+
+        rows:        1      8      32     64     128
+        of peak:   0.025-  0.125- 0.35   0.59   0.52
+                   0.073   0.172
+
+    Single-vreg dependent chains run at ~2.5-7 % of peak; throughput
+    recovers with block height (independent rows = free ILP) and saturates
+    near ~55-59 %.  The measured kernel sits BETWEEN the two bounds
+    (N=1024 L=8: nominal 764k, latency-floor 90k, measured 326k) because
+    its small-height ops are partially independent across phases/d-terms
+    (the round-3 T-tile probe showed Mosaic already extracts that ILP).
+    This brackets — and thereby explains — the round-3 "54 % utilization"
+    residual: sub-peak issue on small-height blocks, not missing ops.  The
+    per-phase attribution that pins each category inside the bracket is the
+    HW ablation (scripts/ablate_scl.py, docs/ROOFLINE.md round-4 section).
+
+Usage: python scripts/op_model.py [N] [K] [L] [wloop] [r1]
 """
 from __future__ import annotations
 
@@ -36,6 +56,23 @@ LUT = 14
 CHK = 2 * LUT + 9      # chk: 2 LUTs + sign/min/abs/add chain
 PEN = LUT + 6          # one PHI penalty pair shares the LUT
 
+# measured sustained fraction of VPU peak vs block height (rows of (8,128)
+# vregs) — scripts/microbench_rolls.py, v5e, 2026-08-20 (gather_rows / lut /
+# rank / chkrow patterns; geometric interpolation between anchors)
+_EFF_ANCHORS = [(1, 0.05), (2, 0.075), (4, 0.11), (8, 0.15), (16, 0.25),
+                (32, 0.355), (64, 0.57), (128, 0.55), (1 << 20, 0.55)]
+
+
+def eff(rows):
+    rows = max(1, rows)
+    for (r0, e0), (r1_, e1) in zip(_EFF_ANCHORS, _EFF_ANCHORS[1:]):
+        if rows <= r1_:
+            if rows <= r0:
+                return e0
+            t = (np.log2(rows) - np.log2(r0)) / (np.log2(r1_) - np.log2(r0))
+            return e0 * (e1 / e0) ** t
+    return _EFF_ANCHORS[-1][1]
+
 
 def model(N, K, L, wloop, S=None, r1=0):
     n = N.bit_length() - 1
@@ -49,96 +86,100 @@ def model(N, K, L, wloop, S=None, r1=0):
     PSR = (max(2 * (n - 1 - S), 1) + max(1, 24 // LBITS) - 1) \
         // max(1, 24 // LBITS)
 
-    cat = {"fork_rank": 0.0, "fork_gather": 0.0, "fork_eager": 0.0,
-           "fork_tie": 0.0, "loop_descent": 0.0, "loop_combine": 0.0,
-           "node_descent": 0.0, "node_pm": 0.0, "boundary_fg": 0.0,
-           "boundary_sigread": 0.0, "epilogue": 0.0, "r1_minima": 0.0,
-           "r1_state": 0.0, "r1_materialize": 0.0}
+    cats = {}
+
+    def add(cat, rows, h):
+        """rows vreg-row ops emitted on blocks of height h."""
+        raw, wtd = cats.get(cat, (0.0, 0.0))
+        cats[cat] = (raw + rows, wtd + rows / eff(h))
 
     def fork():
-        # rank: per d: 2 rolls + ~10 cmp/or/add rows
-        cat["fork_rank"] += L * 12
+        # rank: per d: 2 rolls + ~10 cmp/or/add rows on single-vreg rows
+        add("fork_rank", L * 12, 1)
         # candidate/parent/ub gather: per d: 4 rolls + ~10 mask/mul/add
-        cat["fork_gather"] += L * 14
-        cat["fork_tie"] += L * 4
+        add("fork_gather", L * 14, 1)
+        add("fork_tie", L * 4, 1)
         # eager copy: (2*ER + PSR) rows x (roll + mask-mul-add ~ 3)/d
-        cat["fork_eager"] += L * (2 * ER + PSR) * 3
+        add("fork_eager", L * 2 * ER * 3, ER)
+        add("fork_eager", L * PSR * 3, PSR)
 
     def sig_read_cost(w):
-        cat["boundary_sigread"] += 3 + L * (w * 3 + 1)
+        add("boundary_sigread", 3 + L * (w * 3 + 1), w)
 
     def walk(nd):
         w = 1 << nd.stage
         if nd.kind == "r0":
             # descent: stage levels; level k emits w rows split chk/add —
             # approximate each level as w/2 chk-rows + w/2 add-rows
-            cat["node_descent"] += nd.stage * w * (CHK + 1) / 2
-            cat["node_pm"] += w * (PEN + 1)
+            add("node_descent", nd.stage * w * (CHK + 1) / 2, max(1, w // 2))
+            add("node_pm", w * PEN, w)       # pen pair on the leaf block
+            add("node_pm", w, 1)             # serial leaf-order accumulation
             return
         if nd.kind == "rep":
-            cat["node_descent"] += nd.stage * w * (CHK + 1) / 2
-            cat["node_pm"] += (w - 1) * (PEN + 1)
+            add("node_descent", nd.stage * w * (CHK + 1) / 2, max(1, w // 2))
+            add("node_pm", (w - 1) * PEN, w)
+            add("node_pm", w - 1, 1)
             fork()
             return
         if nd.kind == "r1":
-            # bounded-fork node-level processing (scl_fast_kernel.run_r1)
             t = min(L - 1, w)
             # successive minima: per round, tree-min (~w) + first-onehot
-            # scan (~4w) on |alpha|
-            cat["r1_minima"] += t * 5 * w + w  # + |alpha|
-            # per round: m_k gather (L rolls*3) + sigp/flip-row gathers
-            # through the fork's parent map (small packed rows)
+            # scan (~4w 1-row steps) on |alpha|
+            add("r1_minima", w, w)  # |alpha|
+            add("r1_minima", t * w, max(1, w // 2))  # tree-min levels
+            add("r1_minima", t * 4 * w, 1)  # first-occurrence scan (serial)
             FPR = (t + 23) // 24
             wbits = max(1, nd.stage)
             PRp = (t + max(1, 24 // wbits) - 1) // max(1, 24 // wbits)
-            cat["r1_state"] += t * (3 * L + (1 + FPR) * 3 * L + 6)
+            add("r1_state", t * (3 * L + (1 + FPR) * 3 * L + 6), 1)
             for _ in range(t):
                 fork()
-            # final materialization: beta + packed-idx gathers + t one-hot
-            # flip applications over w rows
-            cat["r1_materialize"] += (w + PRp) * 3 * L + t * (3 * w + 6)
+            add("r1_materialize", (w + PRp) * 3 * L, w)
+            add("r1_materialize", t * (3 * w + 6), w)
             return
         if nd.kind == "loop":
             # per bit: masked pass over stages < stage: rows = 2^i each with
             # chk+g+selects (~CHK + 8)
-            per_bit = sum((1 << i) * (CHK + 8) for i in range(nd.stage))
-            cat["loop_descent"] += w * per_bit
+            for i in range(nd.stage):
+                add("loop_descent", w * (1 << i) * (CHK + 8), 1 << i)
             for j in range(w):
-                if not fr[nd.off + j]:
-                    fork()
-                else:
-                    # frozen bits inside mixed loops still execute the fork
-                    # predicated (Mosaic) — count them
-                    fork()
-            cat["loop_combine"] += w * sum(
-                (1 << i) * 3 for i in range(nd.stage))
+                fork()
+            for i in range(nd.stage):
+                add("loop_combine", w * (1 << i) * 3, 1 << i)
             return
         # branch: f then g at stage-1 over 2^(s-1) rows.  The entry read is
         # always CLEAN (the parent wrote slot s immediately before); the
         # g-read re-gathers through sigma only when the LEFT child emitted a
         # fork (R0 children preserve the clean flag — kernel read_llr)
         h = 1 << (nd.stage - 1)
-        cat["boundary_fg"] += h * CHK          # f
-        cat["boundary_fg"] += h * 3            # g
-        left_forks = not all(fr[nd.left.off : nd.left.off + (1 << (nd.stage - 1))])
+        add("boundary_fg", h * CHK, h)   # f
+        add("boundary_fg", h * 3, h)     # g
+        left_forks = not all(
+            fr[nd.left.off : nd.left.off + (1 << (nd.stage - 1))])
         if nd.stage > S + 1 and left_forks:
-            sig_read_cost(2 * h)               # dirty re-gather of slot s
+            sig_read_cost(2 * h)         # dirty re-gather of slot s
         walk(nd.left)
         walk(nd.right)
 
     walk(root)
-    cat["epilogue"] = N * (n + 1) * 2  # u = encode(x) butterfly + store
+    add("epilogue", N * (n + 1) * 2, N)  # u = encode(x) butterfly + store
 
     F = LANES // L
     frames_per_row = 8 * F  # FS sublane groups x F frames per lane block
-    rows_total = sum(cat.values())
+    rows_total = sum(v[0] for v in cats.values())
+    rows_wtd = sum(v[1] for v in cats.values())
     lane_ops_per_frame = rows_total * 8 * LANES / frames_per_row
-    bound_fps = VPU_OPS / lane_ops_per_frame
+    eff_lane_ops = rows_wtd * 8 * LANES / frames_per_row
     return {
-        "N": N, "K": K, "L": L, "wloop": wloop, "S": S,
-        "rows_by_category": {k: round(v) for k, v in cat.items()},
+        "N": N, "K": K, "L": L, "wloop": wloop, "S": S, "r1": r1,
+        "rows_by_category": {k: round(v[0]) for k, v in cats.items()},
+        "time_share_by_category": {
+            k: round(v[1] / rows_wtd, 3) for k, v in cats.items()},
         "lane_ops_per_frame": round(lane_ops_per_frame),
-        "vpu_bound_fps": round(bound_fps),
+        "vpu_bound_fps_nominal": round(VPU_OPS * frames_per_row
+                                       / (rows_total * 8 * LANES)),
+        "vpu_bound_fps_latency_floor": round(VPU_OPS * frames_per_row
+                                          / (rows_wtd * 8 * LANES)),
     }
 
 
