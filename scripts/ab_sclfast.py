@@ -32,7 +32,8 @@ L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
 iters = int(sys.argv[4]) if len(sys.argv) > 4 else 24
 reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
-WLOOPS = (2, 4, 8)
+WLOOPS = tuple(int(v) for v in
+               os.environ.get("PD_WLOOPS", "2,4,8").split(","))
 
 fr_np = np.asarray(frozen_mask(N, N // 2))
 fr = jnp.asarray(fr_np)
