@@ -23,19 +23,30 @@ LUT_THRESHOLDS = (0.196, 0.433, 0.71, 1.05, 1.508, 2.252, 4.5)
 LUT_VALUES = (0.65, 0.55, 0.45, 0.35, 0.25, 0.15, 0.05, 0.0)
 
 
+def _lut_tree(x, lo, hi, dt):
+    """Balanced select tree over bins [lo, hi): bin k iff
+    T[k-1] <= x < T[k] (T[-1] = -inf, T[len] = +inf)."""
+    if hi - lo == 1:
+        return jnp.asarray(LUT_VALUES[lo], dt)
+    mid = (lo + hi) // 2
+    return jnp.where(x >= LUT_THRESHOLDS[mid - 1],
+                     _lut_tree(x, mid, hi, dt), _lut_tree(x, lo, mid, dt))
+
+
 def lut_correction(x):
     """delta(x) for x >= 0: piecewise-constant ln(1+e^-x) approximation.
 
-    Branchless nested selects carrying the table's LITERAL values (not
-    cumulative differences), so the result is bit-identical to the reference's
-    if/else ladder in any precision, including the strict `<` bin edges (a
-    value exactly at a threshold falls in the upper bin).
-    """
+    Branchless BALANCED select tree (depth 3 over the 8 bins) carrying the
+    table's LITERAL values (not cumulative differences), so the result is
+    bit-identical to the reference's if/else ladder in any precision,
+    including the strict `<` bin edges (a value exactly at a threshold
+    falls in the upper bin) and NaN (all compares false -> bin 0, as in
+    the linear chain).  The tree form matters on TPU: the SCL fast kernel
+    is latency-bound on its serial chk/PHI chains (ROOFLINE round-4 phase
+    ablation), and the tree cuts the lookup's dependent-select depth from
+    7 to 3 at identical op count."""
     dt = x.dtype
-    out = jnp.asarray(LUT_VALUES[-1], dt)
-    for t, v in zip(reversed(LUT_THRESHOLDS), reversed(LUT_VALUES[:-1])):
-        out = jnp.where(x >= t, out, jnp.asarray(v, dt))
-    return jnp.broadcast_to(out, x.shape)
+    return jnp.broadcast_to(_lut_tree(x, 0, len(LUT_VALUES), dt), x.shape)
 
 
 def chk(a, b):

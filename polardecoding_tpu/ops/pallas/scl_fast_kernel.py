@@ -165,7 +165,8 @@ def schedule_stats(frozen: Tuple[bool, ...], wloop: int = 4) -> dict:
 
 def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                      llr, bits, sig, gat, pm_ref, ub_ref, tie_ref,
-                     *, n, N, L, S, FS, frozen, wloop, T, ablate=(), r1=0):
+                     *, n, N, L, S, FS, frozen, wloop, T, ablate=(), r1=0,
+                     stacked=False):
     """Refs as scl_tree_kernel._scl_tree_kernel with a leading TILE axis of
     size T (default 1): T independent frame tiles are decoded by ONE kernel
     body with their op streams INTERLEAVED phase by phase.  Rationale
@@ -199,6 +200,36 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     pmd = [((pidx - d) % L).astype(jnp.float32) for d in range(L)]
     pidxf = pmd[0]
     REP_CONST = float(sum(L ** k for k in range(DPF)))  # identity all digits
+
+    if stacked:
+        # across-d stacked fork constants (ROOFLINE round-4 "stacked fork"):
+        # [2L, FS, LANES] blocks whose row pairs (2d, 2d+1) belong to roll
+        # term d / candidate branch (0, 1).  Emitted once per kernel; every
+        # fork's compare/mask work then runs at block height 2L instead of
+        # L separate height-1 chains (the microbench-measured issue cliff).
+        Z1 = jnp.zeros((1, FS, LANES), jnp.float32)
+        O1 = jnp.ones((1, FS, LANES), jnp.float32)
+        silts = [jnp.where(pmd[d] < pidxf, 1.0, 0.0) for d in range(L)]
+        # rank0 eq-mask rows: (r0_d: silt_d, r1_d: 0); rank1: (r0_d: 1,
+        # r1_d: silt_d) — the reference's stable-order tie rule
+        SEL0 = jnp.concatenate(
+            [x for d in range(L) for x in (silts[d], Z1)], axis=0)
+        SEL1 = jnp.concatenate(
+            [x for d in range(L) for x in (O1, silts[d])], axis=0)
+        PIDX2L = jnp.concatenate([pidxf] * (2 * L), axis=0)
+        ODD2L = jnp.concatenate([Z1, O1] * L, axis=0)
+        PMD2L = jnp.concatenate(
+            [x for d in range(L) for x in (pmd[d], pmd[d])], axis=0)
+
+    def rowsum(x):
+        """Pairwise-halving row reduction -> [1, FS, LANES].  Used only on
+        one-hot-masked stacks (at most one nonzero per lane), so any
+        association is exact — results are bit-identical to the serial
+        += accumulation it replaces."""
+        while x.shape[0] > 1:
+            h = x.shape[0] // 2
+            x = x[:h] + x[h:]
+        return x
 
     for t in TR:
         llr[t] = jnp.zeros((N, FS, LANES), jnp.float32)
@@ -312,6 +343,10 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         pair (SCL_1024.c:481-502): pen_u = lut(|l|) + |l| on sign mismatch."""
         pens = []
         for t in TR:
+            if "forkpen" in ablate:  # phase probe: drop the PHI LUT from
+                # the inter-fork PM recurrence (WRONG results, chain kept)
+                pens.append((l0s[t], -l0s[t]))
+                continue
             absl = jnp.abs(l0s[t])
             base = lut_correction(absl)
             pen0 = base + jnp.where(l0s[t] < 0, absl, 0.0)
@@ -327,41 +362,103 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         state this way).  extra requires is_frozen None."""
         assert extra is None or is_frozen is None
         pms = [pm_ref[t] for t in TR]
-        cand0 = [pms[t] + pens[t][0] for t in TR]
-        cand1 = [pms[t] + pens[t][1] for t in TR]
-        rank0 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
-        rank1 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
-        if "forkrank" in ablate:  # phase probe: trivial ranks (WRONG results)
-            rank0 = [pidx for _ in TR]
-            rank1 = [pidx for _ in TR]
+        if "pmbreak" in ablate:  # phase probe: sever the inter-fork PM
+            # recurrence — candidates no longer read the accumulated PM, so
+            # consecutive forks' selection work is data-independent (WRONG
+            # results; isolates the serial-chain share of runtime)
+            cand0 = [pens[t][0] for t in TR]
+            cand1 = [pens[t][1] for t in TR]
         else:
-            for d in range(L):
-                silt = pmd[d] < pidxf
-                for t in TR:
-                    r0, r1 = roll(cand0[t], d), roll(cand1[t], d)
-                    rank0[t] = (rank0[t]
-                                + ((r0 < cand0[t]) | ((r0 == cand0[t]) & silt))
-                                + (r1 < cand0[t]))
-                    rank1[t] = (rank1[t] + ((r0 < cand1[t]) | (r0 == cand1[t]))
-                                + ((r1 < cand1[t]) | ((r1 == cand1[t]) & silt)))
-
+            cand0 = [pms[t] + pens[t][0] for t in TR]
+            cand1 = [pms[t] + pens[t][1] for t in TR]
         zeros = lambda: [jnp.zeros((1, FS, LANES), jnp.float32) for _ in TR]
         new_pm, new_ub, parent, vLm1, vL = (zeros(), zeros(), zeros(),
                                             zeros(), zeros())
-        for d in range(L):
-            for t in TR:
-                rr0, rc0 = roll(rank0[t], d), roll(cand0[t], d)
-                rr1, rc1 = roll(rank1[t], d), roll(cand1[t], d)
-                m0 = jnp.where(rr0 == pidx, 1.0, 0.0)
-                m1 = jnp.where(rr1 == pidx, 1.0, 0.0)
-                new_pm[t] = new_pm[t] + m0 * rc0 + m1 * rc1
-                new_ub[t] = new_ub[t] + m1
-                parent[t] = parent[t] + (m0 + m1) * pmd[d]
-                if L > 1:
-                    vLm1[t] = (vLm1[t] + jnp.where(rr0 == L - 1, rc0, 0.0)
-                               + jnp.where(rr1 == L - 1, rc1, 0.0))
-                    vL[t] = (vL[t] + jnp.where(rr0 == L, rc0, 0.0)
-                             + jnp.where(rr1 == L, rc1, 0.0))
+        if stacked:
+            # across-d stacked rank + selection (bit-identical — see rowsum
+            # and the SEL/ODD/PMD constant docstrings; ROOFLINE round-4).
+            # Rank: roll the [cand0; cand1] pair once per d into one [2L]
+            # stack R; both candidates' ranks fall out of two height-2L
+            # subtract/compare/mask passes (a - b sign tests replace the
+            # direct broadcast-compare Mosaic cannot relayout).
+            if "forkrank" in ablate:  # phase probe (WRONG results)
+                rank0 = [pidxf for _ in TR]
+                rank1 = [pidxf for _ in TR]
+            else:
+                rank0, rank1 = [], []
+                for t in TR:
+                    c01 = jnp.concatenate([cand0[t], cand1[t]], axis=0)
+                    R = jnp.concatenate([roll(c01, d) for d in range(L)],
+                                        axis=0)
+                    d0 = R - cand0[t]
+                    d1 = R - cand1[t]
+                    cr0 = (jnp.where(d0 < 0, 1.0, 0.0)
+                           + jnp.where(d0 == 0, 1.0, 0.0) * SEL0)
+                    cr1 = (jnp.where(d1 < 0, 1.0, 0.0)
+                           + jnp.where(d1 == 0, 1.0, 0.0) * SEL1)
+                    rank0.append(rowsum(cr0))
+                    rank1.append(rowsum(cr1))
+            # Selection: roll the [rank; cand] pairs once per d; the winner
+            # masks, survivor PMs, branch bits, parent map and the two
+            # tie-probe values are height-2L mask-mul-reduce passes.
+            if "forksel" in ablate:  # phase probe: trivial selection (WRONG)
+                new_pm = [cand0[t] for t in TR]
+                new_ub = [jnp.zeros((1, FS, LANES), jnp.float32) for _ in TR]
+                parent = [pidxf for _ in TR]
+            else:
+                for t in TR:
+                    K = jnp.concatenate([rank0[t], rank1[t]], axis=0)
+                    V = jnp.concatenate([cand0[t], cand1[t]], axis=0)
+                    RK = jnp.concatenate([roll(K, d) for d in range(L)],
+                                         axis=0)
+                    RV = jnp.concatenate([roll(V, d) for d in range(L)],
+                                         axis=0)
+                    m = jnp.where(RK == PIDX2L, 1.0, 0.0)
+                    new_pm[t] = rowsum(m * RV)
+                    new_ub[t] = rowsum(m * ODD2L)
+                    parent[t] = rowsum(m * PMD2L)
+                    if L > 1:
+                        vLm1[t] = rowsum(jnp.where(RK == float(L - 1),
+                                                   RV, 0.0))
+                        vL[t] = rowsum(jnp.where(RK == float(L), RV, 0.0))
+        else:
+            rank0 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
+            rank1 = [jnp.zeros((1, FS, LANES), jnp.int32) for _ in TR]
+            if "forkrank" in ablate:  # phase probe: trivial ranks (WRONG)
+                rank0 = [pidx for _ in TR]
+                rank1 = [pidx for _ in TR]
+            else:
+                for d in range(L):
+                    silt = pmd[d] < pidxf
+                    for t in TR:
+                        r0, r1 = roll(cand0[t], d), roll(cand1[t], d)
+                        rank0[t] = (rank0[t]
+                                    + ((r0 < cand0[t])
+                                       | ((r0 == cand0[t]) & silt))
+                                    + (r1 < cand0[t]))
+                        rank1[t] = (rank1[t]
+                                    + ((r0 < cand1[t]) | (r0 == cand1[t]))
+                                    + ((r1 < cand1[t])
+                                       | ((r1 == cand1[t]) & silt)))
+            if "forksel" in ablate:  # phase probe: trivial selection (WRONG)
+                new_pm = [cand0[t] for t in TR]
+                parent = [pidxf for _ in TR]
+            else:
+                for d in range(L):
+                    for t in TR:
+                        rr0, rc0 = roll(rank0[t], d), roll(cand0[t], d)
+                        rr1, rc1 = roll(rank1[t], d), roll(cand1[t], d)
+                        m0 = jnp.where(rr0 == pidx, 1.0, 0.0)
+                        m1 = jnp.where(rr1 == pidx, 1.0, 0.0)
+                        new_pm[t] = new_pm[t] + m0 * rc0 + m1 * rc1
+                        new_ub[t] = new_ub[t] + m1
+                        parent[t] = parent[t] + (m0 + m1) * pmd[d]
+                        if L > 1:
+                            vLm1[t] = (vLm1[t]
+                                       + jnp.where(rr0 == L - 1, rc0, 0.0)
+                                       + jnp.where(rr1 == L - 1, rc1, 0.0))
+                            vL[t] = (vL[t] + jnp.where(rr0 == L, rc0, 0.0)
+                                     + jnp.where(rr1 == L, rc1, 0.0))
 
         if L > 1:
             for t in TR:
@@ -374,17 +471,32 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             els = [llr[t, :ER, :, :] for t in TR]
             ebs = [bits[t, :ER, :, :] for t in TR]
             sgs = [sig[t] for t in TR]  # PSR packed rows — digit-agnostic
-            # gather through the parent map, T-interleaved per roll term
-            gel, geb, gsg = zeros(), zeros(), zeros()
             gel = [jnp.zeros_like(els[t]) for t in TR]
             geb = [jnp.zeros_like(ebs[t]) for t in TR]
             gsg = [jnp.zeros_like(sgs[t]) for t in TR]
-            for d in range(L):
+            if stacked:
+                # one [2*ER + PSR]-row stack per tile: a single roll + one
+                # broadcast mask-mul-add per d instead of three (same
+                # one-hot parent map -> bit-identical)
+                stks = [jnp.concatenate([els[t], ebs[t], sgs[t]], axis=0)
+                        for t in TR]
+                accs = [jnp.zeros_like(stks[t]) for t in TR]
+                for d in range(L):
+                    for t in TR:
+                        mask = jnp.where(parent[t] == pmd[d], 1.0, 0.0)
+                        accs[t] = accs[t] + mask * roll(stks[t], d)
                 for t in TR:
-                    mask = jnp.where(parent[t] == pmd[d], 1.0, 0.0)
-                    gel[t] = gel[t] + mask * roll(els[t], d)
-                    geb[t] = geb[t] + mask * roll(ebs[t], d)
-                    gsg[t] = gsg[t] + mask * roll(sgs[t], d)
+                    gel[t] = accs[t][:ER]
+                    geb[t] = accs[t][ER : 2 * ER]
+                    gsg[t] = accs[t][2 * ER :]
+            else:
+                # gather through the parent map, T-interleaved per roll term
+                for d in range(L):
+                    for t in TR:
+                        mask = jnp.where(parent[t] == pmd[d], 1.0, 0.0)
+                        gel[t] = gel[t] + mask * roll(els[t], d)
+                        geb[t] = geb[t] + mask * roll(ebs[t], d)
+                        gsg[t] = gsg[t] + mask * roll(sgs[t], d)
             for t in TR:
                 if is_frozen is None:
                     llr[t, :ER, :, :] = gel[t]
@@ -439,7 +551,10 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
             absl = jnp.abs(leaves[t])
             pen0s.append(lut_correction(absl)
                          + jnp.where(leaves[t] < 0, absl, 0.0))
-        pms = [pm_ref[t] for t in TR]
+        if "pmbreak" in ablate:  # keep the serial adds, drop the PM read
+            pms = [jnp.zeros((1, FS, LANES), jnp.float32) for _ in TR]
+        else:
+            pms = [pm_ref[t] for t in TR]
         for j in range(count):
             for t in TR:
                 pms[t] = pms[t] + pen0s[t][j : j + 1, :, :]
@@ -720,7 +835,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret",
-                     "fs_cap", "tiles", "ablate", "r1"),
+                     "fs_cap", "tiles", "ablate", "r1", "stacked"),
 )
 def scl_decode_fast(
     ch_llr,
@@ -733,6 +848,7 @@ def scl_decode_fast(
     tiles: int = 1,
     ablate: str = "",
     r1: int = 0,
+    stacked: bool = False,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
     STATIC tuple of bools (the compile-time mask).  tiles = T independent
@@ -742,14 +858,19 @@ def scl_decode_fast(
     contract to scl_decode_tree/scl_decode_subtree.
 
     ablate: comma-separated phase names to STUB OUT for cost attribution
-    (docs/ROOFLINE.md "phase ablation"): sigread, forkrank, forkeager,
-    loopdescent, descent, boundaryfg.  Ablated kernels produce WRONG decode
-    results with identical shapes/dataflow — measurement-only.
+    (docs/ROOFLINE.md "phase ablation"): sigread, forkrank, forksel,
+    forkeager, loopdescent, descent, boundaryfg.  Ablated kernels produce
+    WRONG decode results with identical shapes/dataflow — measurement-only.
 
     r1 > 0 enables the APPROXIMATE fast-SSC-list rate-1 shortcut on all-info
     blocks of width >= r1 (bounded forks, hard PM — see run_r1).  Opt-in
     flavor: NOT bit-parity with the exact schedule; qualified by the
-    chk_fast 1000-error-block BLER protocol (docs/ROOFLINE.md)."""
+    chk_fast 1000-error-block BLER protocol (docs/ROOFLINE.md).
+
+    stacked=True emits the fork phases as across-d stacked blocks (height
+    2L compare/mask/reduce passes instead of L height-1 chains) — BIT-
+    IDENTICAL results (all cross-d accumulations are one-hot), different
+    op schedule; see ROOFLINE round-4 "stacked fork"."""
     B, N = ch_llr.shape
     n = N.bit_length() - 1
     L = list_size
@@ -784,6 +905,7 @@ def scl_decode_fast(
         _scl_fast_kernel, n=n, N=N, L=L, S=S, FS=fs, frozen=frozen,
         wloop=wloop, T=T,
         ablate=tuple(s for s in ablate.split(",") if s), r1=r1,
+        stacked=stacked,
     )
 
     u_all_c, PM_c, ties_c = pl.pallas_call(

@@ -32,11 +32,15 @@ L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
 iters = int(sys.argv[4]) if len(sys.argv) > 4 else 24
 reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
-# descent/boundaryfg ablations exist in the kernel but are dropped from the
-# default sweep: they stub the exact decoder's own f/g arithmetic (cost
-# inferable from the microbench-calibrated model), and each variant costs a
-# full ~10 min Mosaic compile at N=1024 (compile budget note in ROOFLINE)
-PHASES = ("", "sigread", "forkeager", "forkrank", "loopdescent")
+# Default sweep is env-tunable: the first round (sigread/forkeager/
+# forkrank/loopdescent) measured FLAT — those phases hide in the shadow of
+# the rest — so the second round ablates the remaining candidates
+# (forksel/descent/boundaryfg).  Each variant costs a ~2-6 min Mosaic
+# compile at N=1024 (compile budget note in ROOFLINE).
+# "+" joins multiple phases within ONE variant (translated to the kernel's
+# comma-separated ablate string)
+PHASES = tuple(p.replace("+", ",") for p in os.environ.get(
+    "PD_PHASES", ",sigread,forkeager,forkrank,loopdescent").split(","))
 
 frt = tuple(bool(b) for b in np.asarray(frozen_mask(N, N // 2)))
 rng = np.random.default_rng(0)

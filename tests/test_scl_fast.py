@@ -227,3 +227,48 @@ def test_static_frozen_detection():
     assert seen[0] is None
     # production wloop default (measured: w2 wins at L in {8,16,32}, N=1024)
     assert default_wloop(10, 8) == 2
+
+
+@pytest.mark.parametrize("fr,L,wloop", [
+    (MIXED32, 4, 4),
+    (MIXED32, 8, 2),
+    (np.asarray(frozen_mask(64, 32)), 2, 2),
+    (np.asarray(frozen_mask(128, 64)), 16, 2),
+])
+def test_scl_fast_stacked_fork_parity(fr, L, wloop):
+    """stacked=True re-emits the fork phases as across-d height-2L blocks
+    (rolled [cand0;cand1] / [rank;cand] stacks + one-hot mask-mul-reduce)
+    instead of L height-1 chains.  Every cross-d accumulation it
+    re-associates is one-hot (candidate ranks are a permutation per lane),
+    so the result must be BIT-identical to the jnp oracle — same assertion
+    strength as the default path's parity tests."""
+    N = len(fr)
+    frt = tuple(bool(b) for b in fr)
+    rng = np.random.default_rng(11)
+    B = max(32, 128 // L)  # >= one full lane tile of frames
+    llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 3)
+    ua, pma, ta = scl_decode(llr, jnp.asarray(np.asarray(fr, bool)),
+                             list_size=L, return_all=True, return_ties=True)
+    ub, pmb, tb = scl_decode_fast(llr, frt, list_size=L, wloop=wloop,
+                                  interpret=True, stacked=True)
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    assert (np.asarray(pma) == np.asarray(pmb)).all()
+    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
+def test_scl_fast_stacked_r1_matches_twin():
+    """stacked composes with the bounded-fork R1 flavor: the fork_sel extra
+    (per-path within-node state) gathers through the same parent map."""
+    from scl_fast_ref import decode_batch
+
+    fr = np.asarray(frozen_mask(32, 20))
+    rng = np.random.default_rng(3)
+    llr = (rng.normal(size=(32, 32)) * 3).astype(np.float32)
+    ua, pma, ta = decode_batch(llr, fr, 8, wloop=2, r1min=4)
+    frt = tuple(bool(b) for b in fr)
+    ub, pmb, tb = scl_decode_fast(jnp.asarray(llr), frt, list_size=8,
+                                  wloop=2, r1=4, interpret=True,
+                                  stacked=True)
+    assert (ua == np.asarray(ub)).all()
+    assert (pma == np.asarray(pmb)).all()
+    assert (ta == np.asarray(tb)).all()
