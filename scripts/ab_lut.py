@@ -81,8 +81,10 @@ def make(lut):
         s, _ = f(x)
         return s
 
-    return jax.jit(g), f
+    return scan_jit(g), f
 
+
+from _scanwrap import SCANK, scan_jit  # noqa: E402  (PD_SCANK dispatch-floor fix)
 
 variants = {"tree": make(chk_mod.lut_correction), "chain": make(lut_chain)}
 
@@ -114,9 +116,9 @@ for r in range(reps):
         window = [f(llr) for _ in range(iters)]
         for o in window:
             np.asarray(o)
-        results[name].append(iters * B / (time.perf_counter() - t0))
+        results[name].append(iters * SCANK * B / (time.perf_counter() - t0))
 
 for name, fpss in results.items():
     print(json.dumps({"variant": name, "N": N, "L": L, "B": B,
-                      "best_fps": round(max(fpss), 1),
+                      "scank": SCANK, "best_fps": round(max(fpss), 1),
                       "reps": [round(v) for v in fpss]}), flush=True)

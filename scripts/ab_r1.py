@@ -47,9 +47,11 @@ def _scalar(out):
     return jnp.sum(out[1]) + jnp.sum(out[2])
 
 
+from _scanwrap import SCANK, scan_jit  # noqa: E402  (PD_SCANK dispatch-floor fix)
+
 variants = {}
 for r1 in R1S:
-    variants[f"r1_{r1}"] = jax.jit(
+    variants[f"r1_{r1}"] = scan_jit(
         lambda x, r1=r1: _scalar(scl_decode_fast(x, frt, list_size=L,
                                                  wloop=2, r1=r1)))
 
@@ -86,9 +88,9 @@ for r in range(reps):
         window = [f(llr) for _ in range(iters)]
         for o in window:
             np.asarray(o)
-        results[name].append(iters * B / (time.perf_counter() - t0))
+        results[name].append(iters * SCANK * B / (time.perf_counter() - t0))
 
 for name, fpss in results.items():
     print(json.dumps({"variant": name, "N": N, "L": L, "B": B,
-                      "best_fps": round(max(fpss), 1),
+                      "scank": SCANK, "best_fps": round(max(fpss), 1),
                       "reps": [round(v) for v in fpss]}), flush=True)

@@ -43,10 +43,12 @@ def _scalar(out):
     return jnp.sum(out[1]) + jnp.sum(out[2])
 
 
+from _scanwrap import SCANK, scan_jit  # noqa: E402  (PD_SCANK dispatch-floor fix)
+
 variants = {
-    "flat": jax.jit(lambda x: _scalar(
+    "flat": scan_jit(lambda x: _scalar(
         scl_decode_fast(x, frt, list_size=L, wloop=2))),
-    "stacked": jax.jit(lambda x: _scalar(
+    "stacked": scan_jit(lambda x: _scalar(
         scl_decode_fast(x, frt, list_size=L, wloop=2, stacked=True))),
 }
 
@@ -79,9 +81,9 @@ for r in range(reps):
         window = [f(llr) for _ in range(iters)]
         for o in window:
             np.asarray(o)
-        results[name].append(iters * B / (time.perf_counter() - t0))
+        results[name].append(iters * SCANK * B / (time.perf_counter() - t0))
 
 for name, fpss in results.items():
     print(json.dumps({"variant": name, "N": N, "L": L, "B": B,
-                      "best_fps": round(max(fpss), 1),
+                      "scank": SCANK, "best_fps": round(max(fpss), 1),
                       "reps": [round(v) for v in fpss]}), flush=True)

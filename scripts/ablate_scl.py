@@ -51,10 +51,12 @@ def _scalar(out):
     return jnp.sum(out[1]) + jnp.sum(out[2])
 
 
+from _scanwrap import SCANK, scan_jit  # noqa: E402  (PD_SCANK dispatch-floor fix)
+
 variants = {}
 for ph in PHASES:
     name = ph or "full"
-    variants[name] = jax.jit(
+    variants[name] = scan_jit(
         lambda x, ph=ph: _scalar(scl_decode_fast(x, frt, list_size=L,
                                                  wloop=2, ablate=ph)))
 
@@ -73,7 +75,7 @@ for r in range(reps):
         window = [f(llr) for _ in range(iters)]
         for o in window:
             np.asarray(o)
-        results[name].append(iters * B / (time.perf_counter() - t0))
+        results[name].append(iters * SCANK * B / (time.perf_counter() - t0))
 
 full = max(results["full"])
 for name, fpss in results.items():
@@ -81,6 +83,6 @@ for name, fpss in results.items():
     # share of full-kernel time attributable to the ablated phase
     share = 0.0 if name == "full" else 1.0 - full / best
     print(json.dumps({"variant": name, "N": N, "L": L, "B": B,
-                      "best_fps": round(best, 1),
+                      "scank": SCANK, "best_fps": round(best, 1),
                       "time_share_of_full": round(share, 4),
                       "reps": [round(v) for v in fpss]}), flush=True)
