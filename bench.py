@@ -25,11 +25,13 @@ exist there).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from polardecoding_tpu.configs import preset
 from polardecoding_tpu.parallel.harness import make_frame_step, make_wave_step
@@ -75,26 +77,44 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 
 def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
                 steps=12, warmup=3, mesh=None, fused=True, encoder="mxu",
-                check_every=0):
-    """Steady-state retired frames/s of the continuous-batching BP engine."""
+                check_every=0, steps_per_call=8):
+    """Steady-state retired frames/s of the continuous-batching BP engine.
+
+    Steps run `steps_per_call` per jit dispatch via lax.scan (counters
+    summed on device), mirroring the production run_point_waves chunking:
+    the tunnel sustains one dispatch per ~24 ms (scripts/probe_floor3.py),
+    so per-step dispatches clip small-K configs and cost the production
+    K=8 config ~4%% (324.8k scan-batched vs 311.5k per-step,
+    .hw_queue_r4/step13.log)."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
     init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused,
                                    encoder=encoder, check_every=check_every)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def chunk(key, sigma, carry):
+        def body(c, _):
+            c2, out = step(key, sigma, c)
+            return c2, out
+
+        carry, (eb, ebl, fr) = lax.scan(body, carry, None,
+                                        length=steps_per_call)
+        return carry, jnp.sum(fr)
+
     carry = init(key, jnp.int32(0), sigma)
     last = None
     for _ in range(warmup):
-        carry, last = step(key, sigma, carry)
+        carry, last = chunk(key, sigma, carry)
     if last is not None:
-        int(last[2])  # host-forced sync: warmup complete
+        int(last)  # host-forced sync: warmup complete
     t0 = time.perf_counter()
     frs = []
     for _ in range(steps):
-        carry, (eb, ebl, fr) = step(key, sigma, carry)
+        carry, fr = chunk(key, sigma, carry)
         frs.append(fr)
-    # one lazy device-side sum, one host readback: the steps pipeline
+    # one lazy device-side sum, one host readback: the chunks pipeline
     # back-to-back instead of serializing on a tunnel round-trip each
     frames = int(sum(frs))
     return frames / (time.perf_counter() - t0)
@@ -137,6 +157,12 @@ def main():
                          "chk_fast flavor (A/B: +6%% throughput, BLER clean "
                          "at 1000 error blocks, hw_queue_r2 step4); pass "
                          "BP_1024 for the exact-LUT golden-parity flavor")
+    ap.add_argument("--scl-preset", default="SCL_1024_L8_FASTR1",
+                    help="SCL headline preset; the default is the "
+                         "production bounded-fork R1 flavor (+28.7%% "
+                         "kernel-only, BLER clean at 1000 error blocks on "
+                         "three configs — configs.py FASTR1 block); pass "
+                         "SCL_1024_L8 for the exact golden-parity kernel")
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl",
                       {"threefry": "threefry2x32", "rbg": "rbg"}[args.prng])
@@ -144,8 +170,8 @@ def main():
     bp_fixed_fps = bench_step("BP_1024", args.bp_batch, args.snr, args.iters,
                               args.warmup, profile_dir=args.profile,
                               encoder=args.encoder)
-    scl_fps = bench_step("SCL_1024_L8", args.scl_batch, args.snr, args.iters,
-                         args.warmup, encoder=args.encoder)
+    scl_fps = bench_step(args.scl_preset, args.scl_batch, args.snr,
+                         args.iters, args.warmup, encoder=args.encoder)
     bp_wave_fps = None
     if not args.skip_wave:
         bp_wave_fps = bench_waves(args.wave_preset, args.wave_batch, args.snr,
@@ -166,6 +192,7 @@ def main():
         else round(bp_wave_fps, 1),
         "wave_preset": None if bp_wave_fps is None else args.wave_preset,
         "bp_1024_fixed100_fps": round(bp_fixed_fps, 1),
+        "scl_preset": args.scl_preset,
         "scl_1024_l8_fps": round(scl_fps, 1),
         "vs_baseline_fixed_iters": round(
             min(bp_fixed_fps, scl_fps) / BASELINE_FRAMES_PER_SEC, 4),

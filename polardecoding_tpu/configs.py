@@ -242,6 +242,37 @@ PRESETS = {
             SweepConfig(1.0, 3.0, error_blocks=200, seed=1024),
             "SCL_128_fag.c",
         ),
+        # Production-throughput flavors: the bounded-fork rate-1 shortcut
+        # (scl_decode_fast r1=4, Hashemi-style fast-SSC-list; NOT
+        # ranking-preserving — hard PM drops the path-dependent lut(|l|)
+        # terms).  Promoted after the round-4 dispatch-floor fix exposed
+        # its true throughput (+28.7% kernel-only at N=1024 L=8:
+        # 464.6k vs 361.1k fps, .hw_queue_r4/step17.log) on top of the
+        # established BLER qualification: 1000-error-block A/Bs clean at
+        # SCL_128_L8 (ratio 0.9991), SCL_1024_L8 (1.0048), CASCL_1024_L8
+        # (1.0203), 3-sigma window +-0.13 (docs/ROOFLINE.md).  The exact
+        # presets above remain the golden-parity configurations.
+        _p(
+            "SCL_128_L8_FASTR1",
+            CodeConfig(128, 64),
+            DecoderConfig("scl", list_size=8, scl_r1=4),
+            SweepConfig(1.0, 2.5, error_blocks=50, seed=1024),
+            "SCL_128.c + bounded-fork R1 (throughput flavor, BLER-validated)",
+        ),
+        _p(
+            "SCL_1024_L8_FASTR1",
+            CodeConfig(1024, 512),
+            DecoderConfig("scl", list_size=8, scl_r1=4),
+            SweepConfig(1.0, 3.0, error_blocks=50, seed=1024),
+            "SCL_1024.c + bounded-fork R1 (throughput flavor, BLER-validated)",
+        ),
+        _p(
+            "CASCL_1024_L8_FASTR1",
+            CodeConfig(1024, 512, crc=CRC24_EXPONENTS),
+            DecoderConfig("cascl", list_size=8, scl_r1=4),
+            SweepConfig(1.0, 2.5, error_blocks=100, seed=1024),
+            "CASCL_1024.c + bounded-fork R1 (throughput flavor, BLER-validated)",
+        ),
         # --- CA-SCL family -----------------------------------------------
         _p(
             "CASCL_128_L8",

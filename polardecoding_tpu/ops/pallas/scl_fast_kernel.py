@@ -166,7 +166,7 @@ def schedule_stats(frozen: Tuple[bool, ...], wloop: int = 4) -> dict:
 def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                      llr, bits, sig, gat, pm_ref, ub_ref, tie_ref,
                      *, n, N, L, S, FS, frozen, wloop, T, ablate=(), r1=0,
-                     stacked=False):
+                     stacked=False, sig_chunk=0):
     """Refs as scl_tree_kernel._scl_tree_kernel with a leading TILE axis of
     size T (default 1): T independent frame tiles are decoded by ONE kernel
     body with their op streams INTERLEAVED phase by phase.  Rationale
@@ -268,14 +268,37 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
 
     def sig_read(arr, srow, i):
         """L-term roll-mask gather of slot(i) through sigma digit `srow` for
-        every tile, interleaved per roll term, accumulated through the gat
-        scratch ref (scl_tree_kernel notes).  Returns a T-list."""
+        every tile, interleaved per roll term.  Returns a T-list.
+
+        sig_chunk == 0 (incumbent): accumulate through the gat scratch ref
+        (scl_tree_kernel notes) — each += is a read+add+write round trip.
+        sig_chunk > 0 (round 4): accumulate in VALUES over row chunks of at
+        most sig_chunk rows — drops the per-d ref round trip (~5w -> 3w
+        rows per d-term) while keeping peak temporaries bounded (the full-w
+        value chain was the round-2 "stack oom"); bit-identical (same
+        one-hot masked adds in the same d order per chunk)."""
         lo, hi = _slot(i)
         w = hi - lo
         if "sigread" in ablate:  # phase-cost probe: skip the gather (WRONG
             return [arr[t, lo:hi, :, :] for t in TR]  # results, same shapes)
         sels = [sig_digit(t, srow) for t in TR]
         srcs = [arr[t, lo:hi, :, :] for t in TR]
+        if sig_chunk:
+            masks = [[jnp.where(sels[t] == pmd[d], 1.0, 0.0)
+                      for d in range(L)] for t in TR]
+            outs = []
+            for t in TR:
+                chunks = []
+                for lo2 in range(0, w, sig_chunk):
+                    hi2 = min(lo2 + sig_chunk, w)
+                    src_c = srcs[t][lo2:hi2]
+                    acc = masks[t][0] * src_c  # d = 0: roll is identity
+                    for d in range(1, L):
+                        acc = acc + masks[t][d] * roll(src_c, d)
+                    chunks.append(acc)
+                outs.append(chunks[0] if len(chunks) == 1
+                            else jnp.concatenate(chunks, axis=0))
+            return outs
         for t in TR:
             gat[t, :w, :, :] = jnp.zeros((w, FS, LANES), jnp.float32)
         for d in range(L):
@@ -835,7 +858,8 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret",
-                     "fs_cap", "tiles", "ablate", "r1", "stacked"),
+                     "fs_cap", "tiles", "ablate", "r1", "stacked",
+                     "sig_chunk"),
 )
 def scl_decode_fast(
     ch_llr,
@@ -849,6 +873,7 @@ def scl_decode_fast(
     ablate: str = "",
     r1: int = 0,
     stacked: bool = False,
+    sig_chunk: int = 0,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
     STATIC tuple of bools (the compile-time mask).  tiles = T independent
@@ -905,7 +930,7 @@ def scl_decode_fast(
         _scl_fast_kernel, n=n, N=N, L=L, S=S, FS=fs, frozen=frozen,
         wloop=wloop, T=T,
         ablate=tuple(s for s in ablate.split(",") if s), r1=r1,
-        stacked=stacked,
+        stacked=stacked, sig_chunk=sig_chunk,
     )
 
     u_all_c, PM_c, ties_c = pl.pallas_call(

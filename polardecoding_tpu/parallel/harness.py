@@ -539,26 +539,46 @@ def run_point_waves(
     res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
     carry = init(key, jnp.int32(res.frames), sigma)
     t0 = time.perf_counter()
-    # Forcing the counters to host every step would serialize on the device
-    # round-trip (through the axon tunnel that costs ~50 ms/step — 5x the
-    # compute).  Instead enqueue `sync_every` steps back-to-back, accumulating
-    # the per-step counter outputs lazily on device, and read back one summed
-    # scalar triple per chunk; stepping past the target within a chunk is
-    # harmless (the extra frames are counted, MC stays unbiased).
+    # Dispatch-floor economics (scripts/probe_floor3.py, round 4): the
+    # tunnel sustains at most one jit dispatch per ~24 ms, even enqueued
+    # back-to-back — so `sync_every` separate step() calls pay
+    # max(24 ms, compute) EACH.  Running the whole chunk as ONE dispatch
+    # via lax.scan (counters summed on device, one scalar triple read per
+    # chunk) removes that clipping: +4.3 % retired fps at the production
+    # K=8 config, and it is what makes small-K configs measurable at all.
+    # Decisions are unchanged — the scan body IS step(), same order.
     sync_every = 8
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def chunk(key, sigma, carry):
+        def body(c, _):
+            c2, out = step(key, sigma, c)
+            return c2, out
+
+        carry, (eb, ebl, fr) = lax.scan(body, carry, None,
+                                        length=sync_every)
+        return carry, (jnp.sum(eb), jnp.sum(ebl), jnp.sum(fr))
+
+    # One-chunk lookahead: sync chunk i's counters while chunk i+1 runs
+    # (the stop check then lags one chunk — overshoot frames are counted,
+    # MC stays unbiased, exactly as the old 8-step enqueue overshot).
+    pending = None
     while res.errblock < target and res.frames < cap:
-        outs = []
-        for _ in range(sync_every):
-            carry, out = step(key, sigma, carry)
-            outs.append(out)
-        res.errbit += int(sum(o[0] for o in outs))
-        res.errblock += int(sum(o[1] for o in outs))
-        res.frames += int(sum(o[2] for o in outs))
+        carry, out = chunk(key, sigma, carry)
+        if pending is not None:
+            res.errbit += int(pending[0])
+            res.errblock += int(pending[1])
+            res.frames += int(pending[2])
+        pending = out
         if log:
             log(
                 f"{preset.name} @ {snr_db:.2f} dB (waves): frames={res.frames} "
                 f"errblock={res.errblock} bler={res.bler:.3e}"
             )
+    if pending is not None:
+        res.errbit += int(pending[0])
+        res.errblock += int(pending[1])
+        res.frames += int(pending[2])
     # drain in-flight frames so slow (error-prone) frames are not censored
     remaining = batch
     while remaining > 0:
@@ -682,17 +702,61 @@ def run_point(
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
     res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
     t0 = time.perf_counter()
+    # Dispatch-floor economics (probe_floor3.py): syncing counters per step
+    # pays ~24 ms tunnel dispatch + compute SERIALLY per batch.  On TPU,
+    # run `sync_every` steps per dispatch via lax.scan (distinct
+    # frame_start per inner step — frames stay pure in frame index) and
+    # sync one chunk behind (overshoot frames are counted; MC unbiased).
+    # CPU keeps the one-step path: no tunnel, and tests' tiny adaptive
+    # points would pay 8x overshoot for nothing.
+    sync_every = 1 if jax.default_backend() == "cpu" else 8
+
+    if sync_every == 1:
+        while res.errblock < target and res.frames < cap:
+            eb, ebl, ties = step_fn(key, jnp.int32(res.frames), sigma)
+            res.errbit += int(eb)
+            res.errblock += int(ebl)
+            res.pm_ties += int(ties)
+            res.frames += batch
+            if log:
+                log(
+                    f"{preset.name} @ {snr_db:.2f} dB: frames={res.frames} "
+                    f"errblock={res.errblock} bler={res.bler:.3e}"
+                )
+        res.elapsed_s += time.perf_counter() - t0
+        return res
+
+    @jax.jit
+    def chunk(key, frame_start, sigma):
+        def body(c, i):
+            eb, ebl, ties = step_fn(key, frame_start + i * batch, sigma)
+            return c, (eb, ebl, ties)
+
+        _, (eb, ebl, ties) = lax.scan(
+            body, jnp.int32(0), jnp.arange(sync_every, dtype=jnp.int32))
+        return jnp.sum(eb), jnp.sum(ebl), jnp.sum(ties)
+
+    def take(out):
+        res.errbit += int(out[0])
+        res.errblock += int(out[1])
+        res.pm_ties += int(out[2])
+        res.frames += batch * sync_every
+
+    issued = res.frames  # frames dispatched (res.frames lags one chunk)
+    pending = None
     while res.errblock < target and res.frames < cap:
-        eb, ebl, ties = step_fn(key, jnp.int32(res.frames), sigma)
-        res.errbit += int(eb)
-        res.errblock += int(ebl)
-        res.pm_ties += int(ties)
-        res.frames += batch
+        out = chunk(key, jnp.int32(issued), sigma)
+        issued += batch * sync_every
+        if pending is not None:
+            take(pending)
+        pending = out
         if log:
             log(
                 f"{preset.name} @ {snr_db:.2f} dB: frames={res.frames} "
                 f"errblock={res.errblock} bler={res.bler:.3e}"
             )
+    if pending is not None:
+        take(pending)
     res.elapsed_s += time.perf_counter() - t0
     return res
 
