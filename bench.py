@@ -85,7 +85,7 @@ def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
     the tunnel sustains one dispatch per ~24 ms (scripts/probe_floor3.py),
     so per-step dispatches clip small-K configs and cost the production
     K=8 config ~4%% (324.8k scan-batched vs 311.5k per-step,
-    .hw_queue_r4/step13.log)."""
+    results/hw_queue_r4/step13.log)."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
     init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused,

@@ -247,7 +247,7 @@ PRESETS = {
         # ranking-preserving — hard PM drops the path-dependent lut(|l|)
         # terms).  Promoted after the round-4 dispatch-floor fix exposed
         # its true throughput (+28.7% kernel-only at N=1024 L=8:
-        # 464.6k vs 361.1k fps, .hw_queue_r4/step17.log) on top of the
+        # 464.6k vs 361.1k fps, results/hw_queue_r4/step17.log) on top of the
         # established BLER qualification: 1000-error-block A/Bs clean at
         # SCL_128_L8 (ratio 0.9991), SCL_1024_L8 (1.0048), CASCL_1024_L8
         # (1.0203), 3-sigma window +-0.13 (docs/ROOFLINE.md).  The exact
