@@ -18,13 +18,16 @@ category.  Two bounds are produced:
     Single-vreg dependent chains run at ~2.5-7 % of peak; throughput
     recovers with block height (independent rows = free ILP) and saturates
     near ~55-59 %.  The measured kernel sits BETWEEN the two bounds
-    (N=1024 L=8: nominal 764k, latency-floor 90k, measured 326k) because
-    its small-height ops are partially independent across phases/d-terms
-    (the round-3 T-tile probe showed Mosaic already extracts that ILP).
-    This brackets — and thereby explains — the round-3 "54 % utilization"
-    residual: sub-peak issue on small-height blocks, not missing ops.  The
-    per-phase attribution that pins each category inside the bracket is the
-    HW ablation (scripts/ablate_scl.py, docs/ROOFLINE.md round-4 section).
+    (N=1024 L=8 TRUE rate after the dispatch-floor fix: nominal 764k,
+    latency-floor 90k, measured 361k = 47 % of nominal).
+
+    SUPERSEDED NOTE (round 4): this model's earlier claim to "explain the
+    54 % residual" was written against floor-clipped measurements.  The
+    authoritative attribution is now the scan-batched HW phase ablation
+    (results/hw_queue_r4/step14.log: sigma re-gathers 28.9 %, fork
+    selection 16.0 %, all phases 84.1 %, skeleton ~16 %) — docs/ROOFLINE.md
+    "round 4: the dispatch-floor discovery".  The bounds here remain
+    useful as a sanity bracket and for relative schedule accounting.
 
 Usage: python scripts/op_model.py [N] [K] [L] [wloop] [r1]
 """
