@@ -193,6 +193,27 @@ def default_wloop(n: int, L: int) -> int:
     return _WLOOP_TABLE.get((n, L), 2)
 
 
+# (n, L) -> T-tile interleave for the fast kernel.  Populated ONLY by
+# true-rate hardware A/Bs (scan-batched past the ~24 ms dispatch floor —
+# the round-3 "tiles are flat" verdict was a floor artifact).  r4
+# kernel-only (results/hw_queue_r4/step{21,24,25,26}.log), N=1024 L=8:
+# T2 +9.7% exact / +6.0% with the R1 flavor; T4 adds +3.9% more but
+# compiles 6x longer (43 min vs 7 min) — T2 ships, T4 stays opt-in via
+# scl_decode_fast(tiles=).  N=128 L=8 (R1): T2 +12.0% (4.53M vs 4.05M).
+_TILES_TABLE: dict = {(10, 8): 2, (7, 8): 2}
+
+
+def default_tiles(n: int, L: int, B: int) -> int:
+    """Measured T-tile default, demoted to 1 whenever the batch cannot be
+    split into T whole lane-tiles (the kernel's layout requirement)."""
+    from polardecoding_tpu.ops.pallas.scl_fast_kernel import frames_per_tile
+
+    T = _TILES_TABLE.get((n, L), 1)
+    while T > 1 and (B % T != 0 or (B // T) % frames_per_tile(L, B // T)):
+        T //= 2
+    return T
+
+
 def _pallas_ok(B: int, N: int, L: int = 1, frozen=None) -> bool:
     """A whole-decode Pallas kernel wins on TPU backends for every shipped
     config (see README perf table).  Three generations (kernel docstrings
@@ -234,8 +255,10 @@ def _scl_kernel(ch_llr, frozen, list_size, r1=0):
         )
 
         n = ch_llr.shape[-1].bit_length() - 1
+        B = ch_llr.shape[0]
         return scl_decode_fast(ch_llr, fz, list_size=list_size,
-                               wloop=default_wloop(n, list_size), r1=r1)
+                               wloop=default_wloop(n, list_size), r1=r1,
+                               tiles=default_tiles(n, list_size, B))
     assert r1 == 0, "the r1 flavor needs the static-mask fast kernel"
     if list_size <= 8:
         from polardecoding_tpu.ops.pallas.scl_subtree_kernel import (

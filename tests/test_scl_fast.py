@@ -272,3 +272,16 @@ def test_scl_fast_stacked_r1_matches_twin():
     assert (ua == np.asarray(ub)).all()
     assert (pma == np.asarray(pmb)).all()
     assert (ta == np.asarray(tb)).all()
+
+
+def test_default_tiles():
+    """T-tile dispatch table: measured T=2 at (n=10, L=8); demoted to 1
+    whenever the batch cannot split into T whole lane-tiles."""
+    from polardecoding_tpu.models.scl import default_tiles
+
+    assert default_tiles(10, 8, 8192) == 2
+    assert default_tiles(10, 8, 16384) == 2
+    assert default_tiles(10, 8, 100) == 1   # 50 not a lane-tile multiple
+    assert default_tiles(10, 4, 8192) == 1  # unmeasured config
+    assert default_tiles(7, 8, 16384) == 2  # N=128 measured (r4 step26)
+    assert default_tiles(7, 8, 16) == 1     # sub-tile batch cannot split
