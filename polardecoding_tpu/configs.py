@@ -273,6 +273,16 @@ PRESETS = {
             SweepConfig(1.0, 2.5, error_blocks=100, seed=1024),
             "CASCL_1024.c + bounded-fork R1 (throughput flavor, BLER-validated)",
         ),
+        _p(
+            # L=16 qualification (r4): paired 1000-error-block A/B at
+            # 3.0 dB, ratio 1.002, 3-sigma 0.133 (step27_bler_l16.log);
+            # kernel-only +17.0% (results/hw_queue_r4/step22.log)
+            "SCL_1024_L16_FASTR1",
+            CodeConfig(1024, 512),
+            DecoderConfig("scl", list_size=16, scl_r1=4),
+            SweepConfig(1.0, 3.0, error_blocks=50, seed=1024),
+            "SCL_1024.c L=16 + bounded-fork R1 (throughput flavor, BLER-validated)",
+        ),
         # --- CA-SCL family -----------------------------------------------
         _p(
             "CASCL_128_L8",

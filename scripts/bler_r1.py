@@ -21,11 +21,16 @@ import polardecoding_tpu.configs as cfg
 from polardecoding_tpu.configs import preset
 from polardecoding_tpu.parallel.harness import run_point
 
+# name, hardest-table SNR, frame cap.  Override with PD_CASES =
+# "name:snr:cap[,...]" (e.g. the round-4 L=16 qualification).
 CASES = [
     ("SCL_128_L8", 3.0, 2_000_000),
     ("SCL_1024_L8", 3.0, 30_000_000),
     ("CASCL_1024_L8", 2.5, 60_000_000),
 ]
+if os.environ.get("PD_CASES"):
+    CASES = [(n, float(s), int(c)) for n, s, c in
+             (e.split(":") for e in os.environ["PD_CASES"].split(","))]
 
 
 def register_r1_twin(name, r1):
