@@ -192,8 +192,12 @@ def main():
         else round(bp_wave_fps, 1),
         "wave_preset": None if bp_wave_fps is None else args.wave_preset,
         "bp_1024_fixed100_fps": round(bp_fixed_fps, 1),
+        # the SCL leg is labeled by its preset — the default is the
+        # BLER-qualified FASTR1 throughput flavor, NOT the exact
+        # golden-parity decoder, so the key carries the preset name
+        # rather than implying the exact config
         "scl_preset": args.scl_preset,
-        "scl_1024_l8_fps": round(scl_fps, 1),
+        "scl_fps": round(scl_fps, 1),
         "vs_baseline_fixed_iters": round(
             min(bp_fixed_fps, scl_fps) / BASELINE_FRAMES_PER_SEC, 4),
     }

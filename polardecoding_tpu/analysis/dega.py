@@ -76,8 +76,11 @@ def ga_iteration(L, R, n, N):
     return L, R
 
 
-def _init_messages(N, n, num_info, sigma, frozen_r):
-    frozen = frozen_mask(N, num_info)
+def _init_messages(N, n, num_info, sigma, frozen_r, frozen=None):
+    """frozen: optional explicit [N] bool mask overriding the default 5G
+    construction (e.g. a GA-constructed code)."""
+    if frozen is None:
+        frozen = frozen_mask(N, num_info)
     L = np.zeros((n + 1, N))
     R = np.zeros((n + 1, N))
     L[n] = 2.0 / (sigma * sigma)
@@ -114,10 +117,7 @@ def bpdega(N: int, K: int, snr_db: float, iters: int = 100,
         I = info_set(N, K)
     else:
         frozen = np.asarray(frozen, bool)
-        L = np.zeros((n + 1, N))
-        R = np.zeros((n + 1, N))
-        L[n] = 2.0 / (sigma * sigma)
-        R[0] = np.where(frozen, FROZEN_R, 0.0)
+        L, R, _ = _init_messages(N, n, K, sigma, FROZEN_R, frozen=frozen)
         I = np.flatnonzero(~frozen)
     for _ in range(iters):
         L, R = ga_iteration(L, R, n, N)

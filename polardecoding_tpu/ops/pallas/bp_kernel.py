@@ -227,9 +227,14 @@ def _bp_wave_fused_kernel(sin_ref, llr_ref, ret_ref, sout_ref, u_ref,
     a frame's (u, done) freeze at its own first passing in-wave check, so a
     frame that momentarily satisfies the rule mid-wave retires at this wave's
     boundary instead of paying further waves until a check happens to align.
-    The check costs ~2n of the iteration's ~2n*53 op-rows (~4 %/iteration at
-    check_every=1).  Decisions remain pure per frame.  check_every == iters
-    is bit-identical to check_every == 0 (one boundary check)."""
+    COST NOTE: the decide() runs every iteration regardless of cadence and
+    is only MASKED by the cadence condition — Mosaic executes both sides of
+    vector predicates — so every check_every > 0 pays the same ~2n op-rows
+    per iteration (~4 %; measured ce1/ce2/ce4 all ~4-6 % slower than
+    boundary-only, results/hw_queue_r4/step2.log).  The cadence changes
+    decision SEMANTICS only.  Decisions remain pure per frame.
+    check_every == iters is bit-identical to check_every == 0 (one
+    boundary check)."""
     # selects, not arithmetic blends: 0*x can turn -0.0 into +0.0 and the
     # merge must preserve kept state bit-exactly
     rm = ret_ref[:] > 0.5

@@ -638,15 +638,6 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
         return vs
 
     # ---- R1 node (bounded-fork node-level list processing) ---------------
-    def row_min(x):
-        """Tree-min over the (power-of-two) leading row axis -> [1, FS, L]."""
-        w = x.shape[0]
-        while w > 1:
-            h = w // 2
-            x = jnp.minimum(x[:h], x[h:])
-            w = h
-        return x
-
     def run_r1(nd):
         """All-info node of width w via the fast-SSC-list rate-1 rule
         (Hashemi/Condo/Gross bounded-fork enumeration), APPROXIMATE vs the

@@ -84,7 +84,8 @@ def scaling_bench(
             for _ in range(warmup):
                 carry, last = step(key, sigma, carry)
             if last is not None:
-                jax.block_until_ready(last)
+                int(last[2])  # host-forced scalar sync (block_until_ready
+                # does not reliably block through the tunnel — CLAUDE.md)
             t0 = time.perf_counter()
             frs = []
             for _ in range(steps):
@@ -108,7 +109,9 @@ def scaling_bench(
         rec = {
             "devices": nd,
             "frames_per_sec": rate,
-            "efficiency": rate / (base_rate * nd),
+            # a zero-retirement wave window (hard SNR + tiny steps) has no
+            # meaningful efficiency — report None instead of dividing by 0
+            "efficiency": (rate / (base_rate * nd)) if base_rate else None,
             "engine": engine,
         }
         if retired is not None:

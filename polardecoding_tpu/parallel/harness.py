@@ -726,15 +726,28 @@ def run_point(
         res.elapsed_s += time.perf_counter() - t0
         return res
 
-    @jax.jit
-    def chunk(key, frame_start, sigma):
-        def body(c, i):
-            eb, ebl, ties = step_fn(key, frame_start + i * batch, sigma)
-            return c, (eb, ebl, ties)
+    # the chunk is cached ON the step_fn so a run_sweep's points (which
+    # share one step_fn precisely to compile once) also share one traced
+    # scan program instead of re-tracing the 8-step wrapper per SNR point
+    chunk = getattr(step_fn, "_pd_chunk", None)
+    if chunk is None or getattr(step_fn, "_pd_chunk_cfg", None) != (
+            batch, sync_every):
 
-        _, (eb, ebl, ties) = lax.scan(
-            body, jnp.int32(0), jnp.arange(sync_every, dtype=jnp.int32))
-        return jnp.sum(eb), jnp.sum(ebl), jnp.sum(ties)
+        @jax.jit
+        def chunk(key, frame_start, sigma):
+            def body(c, i):
+                eb, ebl, ties = step_fn(key, frame_start + i * batch, sigma)
+                return c, (eb, ebl, ties)
+
+            _, (eb, ebl, ties) = lax.scan(
+                body, jnp.int32(0), jnp.arange(sync_every, dtype=jnp.int32))
+            return jnp.sum(eb), jnp.sum(ebl), jnp.sum(ties)
+
+        try:
+            step_fn._pd_chunk = chunk
+            step_fn._pd_chunk_cfg = (batch, sync_every)
+        except AttributeError:
+            pass  # non-assignable callables just retrace per point
 
     def take(out):
         res.errbit += int(out[0])

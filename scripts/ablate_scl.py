@@ -77,12 +77,16 @@ for r in range(reps):
             np.asarray(o)
         results[name].append(iters * SCANK * B / (time.perf_counter() - t0))
 
-full = max(results["full"])
+# the share column needs the un-ablated baseline; a PD_PHASES list without
+# the empty entry still prints raw fps (don't lose the measurements)
+full = max(results["full"]) if "full" in results else None
 for name, fpss in results.items():
     best = max(fpss)
     # share of full-kernel time attributable to the ablated phase
-    share = 0.0 if name == "full" else 1.0 - full / best
+    share = (0.0 if name == "full" else 1.0 - full / best) \
+        if full is not None else None
     print(json.dumps({"variant": name, "N": N, "L": L, "B": B,
                       "scank": SCANK, "best_fps": round(best, 1),
-                      "time_share_of_full": round(share, 4),
+                      "time_share_of_full":
+                      None if share is None else round(share, 4),
                       "reps": [round(v) for v in fpss]}), flush=True)

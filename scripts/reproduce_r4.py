@@ -54,9 +54,9 @@ def main():
                   flush=True)
         print(f"   done in {time.time()-t0:.0f}s", flush=True)
 
-    # GA-vs-MC cross-validation (CPU): bpdega union bound on the
-    # GA-constructed mask at the measured SNRs, 100 GA iterations (iterMax)
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # GA-vs-MC cross-validation: bpdega/construction are numpy-only (no
+    # device work; setting JAX_PLATFORMS here would be too late anyway —
+    # jax is already initialized above)
     from polardecoding_tpu.analysis.construction import code_frozen_mask
     from polardecoding_tpu.analysis.dega import bpdega
 
