@@ -15,7 +15,11 @@ The BP component is the continuous-batching early-stop engine (each frame
 retires at its own convergence wave) — BASELINE.json's north star names the
 BP configuration as "with R/L message arrays and early-stopping", and this
 is its production form (per-frame-pure decisions, unbiased MC counting,
-BLER validated against the reference tables in tests/results).  The fixed
+BLER validated against the reference tables in tests/results).
+
+The per-chip -> aggregate north-star projection (how to read vs_baseline,
+what the communication model is, and the multi-process evidence) is
+documented in docs/SCALING.md.  The fixed
 100-sweep rate — the reference's literal iteration count, and the number a
 frame-for-frame golden replay pays — is reported alongside as
 bp_1024_fixed100_fps with its own vs_baseline_fixed_iters, so neither view
@@ -34,7 +38,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from polardecoding_tpu.configs import preset
-from polardecoding_tpu.parallel.harness import make_frame_step, make_wave_step
+from polardecoding_tpu.parallel.harness import (
+    make_frame_step,
+    make_wave_step,
+    make_wave_step_mc,
+)
 from polardecoding_tpu.parallel.mesh import data_mesh
 
 BASELINE_FRAMES_PER_SEC = 1e7
@@ -77,7 +85,8 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 
 def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
                 steps=12, warmup=3, mesh=None, fused=True, encoder="mxu",
-                check_every=0, steps_per_call=8):
+                check_every=0, steps_per_call=8, engine="fused",
+                noise="kernel"):
     """Steady-state retired frames/s of the continuous-batching BP engine.
 
     Steps run `steps_per_call` per jit dispatch via lax.scan (counters
@@ -85,11 +94,19 @@ def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
     the tunnel sustains one dispatch per ~24 ms (scripts/probe_floor3.py),
     so per-step dispatches clip small-K configs and cost the production
     K=8 config ~4%% (324.8k scan-batched vs 311.5k per-step,
-    results/hw_queue_r4/step13.log)."""
+    results/hw_queue_r4/step13.log).
+
+    engine="mc" selects the in-kernel-MC stepper (refill generation +
+    per-iteration retirement + counting inside the Mosaic kernel,
+    make_wave_step_mc); `noise` picks its bit source."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
-    init, step, _ = make_wave_step(p, batch, wave_iters, mesh, fused=fused,
-                                   encoder=encoder, check_every=check_every)
+    if engine == "mc":
+        init, step, _ = make_wave_step_mc(p, batch, wave_iters, noise=noise)
+    else:
+        init, step, _ = make_wave_step(p, batch, wave_iters, mesh,
+                                       fused=fused, encoder=encoder,
+                                       check_every=check_every)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
 
@@ -148,6 +165,16 @@ def main():
                          "(default; bit-identical codewords, measured faster "
                          "— docs/ROOFLINE.md 'encode on the MXU') or the "
                          "butterfly xor-stage path")
+    ap.add_argument("--wave-engine", choices=("fused", "mc"),
+                    default="fused",
+                    help="wave stepper: the exact-semantics fused kernel, or "
+                         "the in-kernel-MC v3 engine (per-iteration "
+                         "retirement + in-kernel refill/counting — opt-in "
+                         "flavor under BLER qualification)")
+    ap.add_argument("--wave-noise", choices=("kernel", "threefry"),
+                    default="kernel",
+                    help="mc engine bit source: in-kernel pltpu PRNG or "
+                         "XLA-side threefry bits")
     ap.add_argument("--wave-check-every", type=int, default=0,
                     help="in-wave G-check cadence with per-frame latch "
                          "(0 = boundary-only); candidate r4 default pending "
@@ -172,12 +199,21 @@ def main():
                               encoder=args.encoder)
     scl_fps = bench_step(args.scl_preset, args.scl_batch, args.snr,
                          args.iters, args.warmup, encoder=args.encoder)
+    # the exact-semantics SCL leg under its own stable key, so round-over-
+    # round comparisons never silently mix the exact decoder with the
+    # qualified FASTR1 flavor (advisor r4)
+    scl_exact_fps = (scl_fps if args.scl_preset == "SCL_1024_L8" else
+                     bench_step("SCL_1024_L8", args.scl_batch, args.snr,
+                                args.iters, args.warmup,
+                                encoder=args.encoder))
     bp_wave_fps = None
     if not args.skip_wave:
         bp_wave_fps = bench_waves(args.wave_preset, args.wave_batch, args.snr,
                                   fused=not args.unfused_wave,
                                   encoder=args.encoder,
-                                  check_every=args.wave_check_every)
+                                  check_every=args.wave_check_every,
+                                  engine=args.wave_engine,
+                                  noise=args.wave_noise)
 
     bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)
@@ -191,13 +227,15 @@ def main():
         "bp_1024_wave_fps": None if bp_wave_fps is None
         else round(bp_wave_fps, 1),
         "wave_preset": None if bp_wave_fps is None else args.wave_preset,
+        "wave_engine": None if bp_wave_fps is None else args.wave_engine,
         "bp_1024_fixed100_fps": round(bp_fixed_fps, 1),
         # the SCL leg is labeled by its preset — the default is the
         # BLER-qualified FASTR1 throughput flavor, NOT the exact
-        # golden-parity decoder, so the key carries the preset name
-        # rather than implying the exact config
+        # golden-parity decoder, so the key carries the preset name; the
+        # exact decoder's rate is ALWAYS emitted under its stable key too
         "scl_preset": args.scl_preset,
         "scl_fps": round(scl_fps, 1),
+        "scl_1024_l8_fps": round(scl_exact_fps, 1),
         "vs_baseline_fixed_iters": round(
             min(bp_fixed_fps, scl_fps) / BASELINE_FRAMES_PER_SEC, 4),
     }

@@ -327,6 +327,180 @@ def bp_wave_fused(state, ch_llr, retire, iters: int = 8,
                              flavor=flavor, check_every=check_every)
 
 
+# ---------------------------------------------------------------------------
+# In-kernel Monte-Carlo wave engine (v3): the whole MC step — refill
+# generation (payload table + GF(2) re-encode + PRNG-bits Gaussian channel),
+# K iterations, per-iteration G-matrix retirement with a one-spare-per-wave
+# refill, and error counting — runs inside one Pallas kernel
+# (ops/pallas/bp_kernel._bp_wave_mc_kernel); the jnp twin below pins the
+# semantics bit-for-bit (tests/test_wave_mc.py, interpret mode).
+#
+# Engine contract (differs from the fused wave engine — opt-in, qualified):
+# slot s decodes frames s, s+B, s+2B, ... (payload = pure function of the
+# frame index, as everywhere); a frame's noise is the spare generated at the
+# head of the wave it entered — deterministic in (seed, B, tile, K, step),
+# independent across frames, but NOT a function of frame index alone.
+
+
+def mc_u_table(info_positions, K: int, N: int):
+    """[64, N] f32: row m = the true-u row for PN offset m (63 rows + a zero
+    pad row).  Payload bit i of a frame with offset m is PN[(m + i) % 63]
+    (SC_128.c:179-181); frozen positions are 0."""
+    from polardecoding_tpu.utils.pn import PN_PERIOD, pn_sequence
+
+    pn = pn_sequence()
+    import numpy as np
+
+    tab = np.zeros((64, N), np.float32)
+    I = np.asarray(info_positions)
+    for m in range(PN_PERIOD):
+        idx = (m + np.arange(K)) % PN_PERIOD
+        tab[m, I] = pn[idx]
+    return jnp.asarray(tab)
+
+
+def mc_delta(batch: int, K: int) -> int:
+    """Per-slot PN-offset advance between a slot's consecutive frames."""
+    return (batch * (K % 63)) % 63
+
+
+def mc_meta_init(batch: int, N: int, K: int):
+    """Initial meta planes [4, B, N]: every slot pending (the first wave's
+    head merge performs the initial fill), m pre-stepped back by delta so the
+    first spare lands on slot s's first frame offset m0(s) = (s*(K%63))%63."""
+    m0 = (jnp.arange(batch, dtype=jnp.int32) * (K % 63)) % 63
+    m_init = (m0 - mc_delta(batch, K)) % 63
+    meta = jnp.zeros((4, batch, N), jnp.float32)
+    meta = meta.at[0].set(jnp.broadcast_to(
+        m_init.astype(jnp.float32)[:, None], (batch, N)))
+    return meta.at[3].set(1.0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iters", "flavor", "iter_max", "delta", "drain", "spares"))
+def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
+                   flavor: str = "minsum_lut", iter_max: int = 100,
+                   delta: int = 0, drain: bool = False, spares: int = 2):
+    """jnp twin of the in-kernel-MC wave kernel (gen_bits=False semantics:
+    `bits` [spares, B, N] uint32 supplies the generations' noise).
+    Bit-identical to the Pallas kernel in interpret mode.  Returns
+    (state', meta', stats [B, 3] f32 — per-slot errbit / errblock /
+    frames retired this wave)."""
+    from polardecoding_tpu.ops.noise import gaussian_from_bits
+
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
+    S2, B, N = state.shape
+    n = S2 // 2 - 1
+    f32 = jnp.float32
+    zero = jnp.zeros((B, N), f32)
+    one = jnp.ones((B, N), f32)
+
+    m_in, u_in, it_in, pend_in = meta[0], meta[1], meta[2], meta[3]
+    sigma = jnp.asarray(sigma, f32)
+    inv_s = 1.0 / sigma
+    cA = 2.0 * inv_s * inv_s
+    cB = 2.0 * inv_s
+    m_g, u_g, llr_g = [], [], []
+    for g in range(spares):
+        dm = f32(((g + 1) * delta) % 63)
+        mg = m_in + dm
+        mg = jnp.where(mg >= 63.0, mg - 63.0, mg)
+        ug = u_table[mg[:, 0].astype(jnp.int32)]
+        xg = polar_encode(ug.astype(jnp.int8)).astype(f32)
+        z = gaussian_from_bits(bits[g])
+        m_g.append(mg)
+        u_g.append(ug)
+        llr_g.append(cA * (1.0 - 2.0 * xg) + cB * z)
+
+    def gen_sel(ptr):
+        m_s, u_s, l_s = m_g[0], u_g[0], llr_g[0]
+        for g in range(1, spares):
+            pick = ptr == f32(g)
+            m_s = jnp.where(pick, m_g[g], m_s)
+            u_s = jnp.where(pick, u_g[g], u_s)
+            l_s = jnp.where(pick, llr_g[g], l_s)
+        return m_s, u_s, l_s
+
+    rm = jnp.zeros((B, N), bool) if drain else (pend_in > 0.5)
+    frozen_row = state[n + 1] > 0.0
+    st = jnp.where(rm[None, :, :], 0.0, state)
+    st = st.at[n].set(jnp.where(rm, llr_g[0], state[n]))
+    st = st.at[n + 1].set(state[n + 1])
+    m_c = jnp.where(rm, m_g[0], m_in)
+    u_c = jnp.where(rm, u_g[0], u_in)
+    it_c = jnp.where(rm, zero, it_in)
+    rmf = rm.astype(f32)
+    avail = zero if drain else f32(spares) * one - rmf
+    ptr = rmf
+    pend_c = pend_in if drain else zero
+
+    def body(it, c):
+        st, m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr = c
+        Ls = [st[i] for i in range(n + 1)]
+        Rs = [st[n + 1 + i] for i in range(n + 1)]
+        Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
+        st = jnp.stack(Ls + Rs, axis=0)
+        alive = 1.0 - pend_c
+        it_c = it_c + alive
+        u8, ok = wave_decide(st, frozen_row[0])
+        u = u8.astype(f32)
+        okm = jnp.broadcast_to(ok[:, None], (B, N)).astype(f32)
+        done = jnp.maximum(okm, (it_c >= f32(iter_max)).astype(f32)) * alive
+        lastf = (it == iters - 1).astype(f32)
+        has = (avail > 0.5).astype(f32)
+        retire_now = done * has
+        retire_bd = done * (1.0 - has) * lastf
+        retire = retire_now + retire_bd
+        bad = jnp.abs(u - u_c) * retire
+        eb = eb + bad
+        ebl = ebl + jnp.max(bad, axis=1, keepdims=True)
+        fr = fr + retire
+        m_nx, u_nx, llr_nx = gen_sel(ptr)
+        rm2 = retire_now > 0.5
+        st = jnp.where(rm2[None, :, :], 0.0, st)
+        st = st.at[n].set(jnp.where(rm2, llr_nx, st[n]))
+        st = st.at[n + 1].set(
+            jnp.where(frozen_row, jnp.asarray(FROZEN_R, f32), 0.0))
+        m_c = jnp.where(rm2, m_nx, m_c)
+        u_c = jnp.where(rm2, u_nx, u_c)
+        it_c = jnp.where(rm2, zero, it_c)
+        ptr = ptr + retire_now
+        avail = avail - retire_now
+        pend_c = jnp.maximum(pend_c, retire_bd)
+        return st, m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr
+
+    st, m_c, u_c, it_c, pend_c, _, _, eb, ebl, fr = lax.fori_loop(
+        0, iters, body,
+        (st, m_c, u_c, it_c, pend_c, ptr, avail, zero, zero, zero))
+    meta = jnp.stack([m_c, u_c, it_c, pend_c], axis=0)
+    stats = jnp.stack([
+        jnp.sum(eb, axis=1), jnp.max(ebl, axis=1), jnp.max(fr, axis=1)
+    ], axis=1)
+    return st, meta, stats
+
+
+def bp_wave_mc(state, meta, u_table, sigma, seeds, bits=None, iters: int = 8,
+               flavor: str = "minsum_lut", iter_max: int = 100,
+               delta: int = 0, gen_bits: bool = True, drain: bool = False,
+               spares: int = 2):
+    """Backend dispatch for the in-kernel-MC wave step.  On TPU runs the
+    Pallas kernel (gen_bits=True draws noise bits in-kernel; False takes
+    threefry `bits`); elsewhere the jnp twin (requires bits)."""
+    if jax.default_backend() not in ("cpu", "gpu") and state.shape[1] % 8 == 0:
+        from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_mc_pallas
+
+        state, meta, stats = bp_wave_mc_pallas(
+            state, meta, u_table, sigma, seeds, bits, iters=iters,
+            flavor=flavor, iter_max=iter_max, delta=delta, gen_bits=gen_bits,
+            drain=drain, spares=spares)
+        return state, meta, stats[:, :3]
+    assert bits is not None, "jnp MC twin needs XLA-side noise bits"
+    return bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters=iters,
+                          flavor=flavor, iter_max=iter_max, delta=delta,
+                          drain=drain, spares=spares)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "flavor", "checkpoints"))
 def bpr_decode(
     ch_llr,

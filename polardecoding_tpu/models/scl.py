@@ -259,7 +259,17 @@ def _scl_kernel(ch_llr, frozen, list_size, r1=0):
         return scl_decode_fast(ch_llr, fz, list_size=list_size,
                                wloop=default_wloop(n, list_size), r1=r1,
                                tiles=default_tiles(n, list_size, B))
-    assert r1 == 0, "the r1 flavor needs the static-mask fast kernel"
+    if r1 > 0:
+        # a traced (non-static) mask cannot reach the frozen-specialized
+        # fast kernel, so the approximate flavor is unavailable: fall back
+        # to the EXACT legacy kernels loudly rather than crashing or
+        # silently mislabeling the run (advisor r4)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "scl r1=%d requested with a traced frozen mask: the fast "
+            "kernel needs a static mask, decoding EXACT semantics instead",
+            r1)
     if list_size <= 8:
         from polardecoding_tpu.ops.pallas.scl_subtree_kernel import (
             scl_decode_subtree,
@@ -286,6 +296,15 @@ def scl_decode_auto(ch_llr, frozen, list_size: int = 8,
         best = jnp.argmin(PM, axis=-1)
         u_hat = jnp.take_along_axis(u_all, best[:, None, None], axis=1)[:, 0]
         return (u_hat, ties) if return_ties else u_hat
+    if r1 > 0:
+        # the jnp fallback decodes EXACT semantics — a run labeled *_FASTR1
+        # must not silently measure a different decoder (advisor r4)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "scl r1=%d requested but the Pallas fast kernel is unavailable "
+            "(backend %s, B=%d): falling back to the EXACT jnp decoder",
+            r1, jax.default_backend(), B)
     return scl_decode(ch_llr, frozen, list_size=list_size,
                       return_all=return_all, return_ties=return_ties)
 

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polardecoding_tpu.ops.chk import chk, chk_exact, chk_fast
+from polardecoding_tpu.ops.noise import gaussian_from_bits
 
 
 def _upper_mask(i, TB, N):
@@ -363,6 +364,271 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
         interpret=interpret,
     )(state, llr, ret_f)
     return state, u_hat, done[:, 0].astype(bool)
+
+
+def _bp_wave_mc_kernel(state_in, meta_in, utab_ref, sig_ref, seed_ref,
+                       bits_ref, state, meta, stats_ref, *, n, N, TB, iters,
+                       chk_fn, rolls, iter_max, delta, gen_bits, drain,
+                       spares):
+    """Fully in-kernel Monte-Carlo wave: refill GENERATION + merge + K
+    iterations + per-iteration G-matrix retirement + error counting, one
+    kernel — the round-4 verdict's "in-kernel MC refill" lever.  The XLA
+    side of a step shrinks to summing this kernel's per-slot counters.
+
+    Why the refill can live in-kernel: payloads depend only on the PN window
+    offset m in {0..62} (SC_128.c:179-181 — 63 distinct payloads, hence 63
+    distinct codewords), so `utab_ref` [64, N] carries every possible true-u
+    row; the codeword is re-derived by the in-kernel GF(2) encode
+    (_gmat_encode, the same pass the G-check uses) and the channel is
+    BPSK + sigma * N(0,1) with the Gaussian built from raw PRNG bits
+    (ops/noise.py — the same erfinv construction jax.random.normal uses).
+    Bits come from pltpu.prng_random_bits seeded per (seed, step, tile)
+    when gen_bits, else from `bits_ref` (threefry bits generated XLA-side —
+    the CPU-testable and statistically conservative mode).
+
+    Retirement semantics (vs the boundary-only fused kernel): `spares`
+    fresh frame GENERATIONS per slot (gen g = payload offset m + (g+1)*
+    delta) are built at the head.  Each iteration runs the G-check; a done
+    frame whose slot still has a generation left retires IMMEDIATELY
+    (counted with its current decision) and the slot restarts on the next
+    generation in place — E[paid iterations] drops from E[ceil(X/K)]*K
+    (~16 at 2 dB) toward E[X] (~13.1).  Slots arriving `pending` consume
+    generation 0 in the head merge (the fused kernel's head-merge pattern).
+    A done frame with no generation left keeps sweeping to the wave
+    boundary, where it retires into `pending` for the next head.  Frames
+    at iter_max retire the same ways.  spares >= 2 matters: with one, a
+    head-refilled frame could never retire mid-wave in its own entry wave
+    and E[paid] degenerates to E[max(X, K)].
+
+    meta planes (f32, lane-broadcast where scalar): 0 = m of the current
+    frame, 1 = true-u row of the current frame, 2 = iterations done,
+    3 = pending (drain mode: dead).  Slot s's frame sequence is
+    m0(s), m0(s)+delta, ... (delta = (B * (K%63)) % 63, slot-strided frame
+    indices s, s+B, s+2B, ...) — payloads stay a pure function of the frame
+    index; the noise a frame receives is the spare of the wave it entered,
+    deterministic in (seed, B, tile, K, step) but — unlike the XLA wave
+    engine — not a function of the frame index alone.  Opt-in engine,
+    BLER-qualified like chk_fast/R1 (docs/ROOFLINE.md).
+
+    stats_ref [TB, 128]: lane 0 = errbit, 1 = errblock, 2 = frames retired
+    (per slot, this wave).  drain=True: no refills, `pending` marks dead
+    slots; live frames run to retirement over successive drain calls.
+    """
+    f32 = jnp.float32
+    ups = [_upper_mask(i, TB, N) for i in range(n)]
+    zero = jnp.zeros((TB, N), f32)
+    one = jnp.ones((TB, N), f32)
+
+    m_in = meta_in[0, :, :]
+    u_in = meta_in[1, :, :]
+    it_in = meta_in[2, :, :]
+    pend_in = meta_in[3, :, :]
+
+    # ---- spare-generation build (once per wave): gens g = 0..spares-1 ----
+    sigma = sig_ref[0, 0]
+    inv_s = 1.0 / sigma
+    cA = 2.0 * inv_s * inv_s  # LLR = cA * (1 - 2x) + cB * z  (2y/sigma^2)
+    cB = 2.0 * inv_s
+    if gen_bits:
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1], pl.program_id(0))
+    m_g, u_g, llr_g = [], [], []
+    for g in range(spares):
+        dm = f32(((g + 1) * delta) % 63)
+        mg = m_in + dm
+        mg = jnp.where(mg >= 63.0, mg - 63.0, mg)
+        ug = zero
+        for j in range(63):
+            row = jnp.broadcast_to(utab_ref[j:j + 1, :], (TB, N))
+            ug = jnp.where(mg == f32(j), row, ug)
+        xg = _gmat_encode(ug, ups, n, N)  # 0/1 codeword
+        if gen_bits:
+            bits = pltpu.prng_random_bits((TB, N))
+        else:
+            bits = bits_ref[g, :, :]
+        z = gaussian_from_bits(bits)
+        m_g.append(mg)
+        u_g.append(ug)
+        llr_g.append(cA * (1.0 - 2.0 * xg) + cB * z)
+
+    def gen_sel(ptr):
+        """(m, u, llr) of the generation `ptr` points at (select chain)."""
+        m_s, u_s, l_s = m_g[0], u_g[0], llr_g[0]
+        for g in range(1, spares):
+            pick = ptr == f32(g)
+            m_s = jnp.where(pick, m_g[g], m_s)
+            u_s = jnp.where(pick, u_g[g], u_s)
+            l_s = jnp.where(pick, llr_g[g], l_s)
+        return m_s, u_s, l_s
+
+    # ---- head merge: refill pending slots (consuming gen 0) --------------
+    rm = jnp.zeros((TB, N), bool) if drain else (pend_in > 0.5)
+    state[n, :, :] = jnp.where(rm, llr_g[0], state_in[n, :, :])
+    state[n + 1, :, :] = state_in[n + 1, :, :]  # R(0): frozen row, shared
+    for i in range(n):
+        state[i, :, :] = jnp.where(rm, zero, state_in[i, :, :])
+        state[n + 2 + i, :, :] = jnp.where(rm, zero,
+                                           state_in[n + 2 + i, :, :])
+    m_c = jnp.where(rm, m_g[0], m_in)
+    u_c = jnp.where(rm, u_g[0], u_in)
+    it_c = jnp.where(rm, zero, it_in)
+    rmf = rm.astype(f32)
+    avail = zero if drain else f32(spares) * one - rmf  # gens left
+    ptr = rmf  # next generation to consume
+    pend_c = pend_in if drain else zero
+
+    def L(i):
+        return state[i, :, :]
+
+    def R(i):
+        return state[n + 1 + i, :, :]
+
+    def one_iteration():
+        for i in range(n):
+            state[n + 2 + i, :, :] = _sweep_update(R(i), L(i + 1), i,
+                                                   ups[i], chk_fn, rolls)
+        for i in range(n - 1, -1, -1):
+            state[i, :, :] = _sweep_update(L(i + 1), R(i), i, ups[i],
+                                           chk_fn, rolls)
+
+    frozen = R(0) > 0.0
+
+    def decide():
+        u = jnp.where(frozen, 0.0, (L(0) + R(0) < 0).astype(f32))
+        x = _gmat_encode(u, ups, n, N)
+        post_hard = (L(n) + R(n)) < 0.0
+        ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
+        return u, jnp.broadcast_to(ok, (TB, N)).astype(f32)
+
+    def body(it, c):
+        m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr = c
+        one_iteration()
+        alive = 1.0 - pend_c  # non-drain: pend only set on the last iter
+        it_c = it_c + alive
+        u, okm = decide()
+        done = jnp.maximum(okm, (it_c >= f32(iter_max)).astype(f32)) * alive
+        lastf = (it == iters - 1).astype(f32)
+        has = (avail > 0.5).astype(f32)
+        retire_now = done * has
+        retire_bd = done * (1.0 - has) * lastf
+        retire = retire_now + retire_bd
+        bad = jnp.abs(u - u_c) * retire  # frozen lanes agree (both 0)
+        eb = eb + bad
+        ebl = ebl + jnp.max(bad, axis=1, keepdims=True)
+        fr = fr + retire
+        # in-place refill of immediately-retiring slots from the next gen
+        m_nx, u_nx, llr_nx = gen_sel(ptr)
+        rm2 = retire_now > 0.5
+        state[n, :, :] = jnp.where(rm2, llr_nx, state[n, :, :])
+        for i in range(n):
+            state[i, :, :] = jnp.where(rm2, zero, state[i, :, :])
+            state[n + 2 + i, :, :] = jnp.where(rm2, zero,
+                                               state[n + 2 + i, :, :])
+        m_c = jnp.where(rm2, m_nx, m_c)
+        u_c = jnp.where(rm2, u_nx, u_c)
+        it_c = jnp.where(rm2, zero, it_c)
+        ptr = ptr + retire_now
+        avail = avail - retire_now
+        pend_c = jnp.maximum(pend_c, retire_bd)
+        return m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr
+
+    m_c, u_c, it_c, pend_c, _, _, eb, ebl, fr = lax.fori_loop(
+        0, iters, body,
+        (m_c, u_c, it_c, pend_c, ptr, avail, zero, zero, zero))
+
+    meta[0, :, :] = m_c
+    meta[1, :, :] = u_c
+    meta[2, :, :] = it_c
+    meta[3, :, :] = pend_c
+    eb_row = jnp.sum(eb, axis=1, keepdims=True)
+    ebl_row = jnp.max(ebl, axis=1, keepdims=True)  # lanes equal: max = value
+    fr_row = jnp.max(fr, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 1)
+    stats_ref[:] = (jnp.where(lane == 0, eb_row, 0.0)
+                    + jnp.where(lane == 1, ebl_row, 0.0)
+                    + jnp.where(lane == 2, fr_row, 0.0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "flavor", "tile", "interpret", "rolls",
+                              "iter_max", "delta", "gen_bits", "drain",
+                              "spares")
+)
+def bp_wave_mc_pallas(state, meta, u_table, sigma, seeds, bits=None,
+                      iters: int = 8, flavor: str = "minsum_lut",
+                      tile: int = 0, interpret: bool = False, rolls: int = 3,
+                      iter_max: int = 100, delta: int = 0,
+                      gen_bits: bool = True, drain: bool = False,
+                      spares: int = 2):
+    """In-kernel-MC wave advance (see _bp_wave_mc_kernel).
+
+    state [2(n+1), B, N] f32; meta [4, B, N] f32; u_table [64, N] f32;
+    sigma f32 scalar; seeds [2] i32 (run seed, step counter — folded with
+    the tile id into the in-kernel PRNG); bits [spares, B, N] uint32/int32
+    required iff not gen_bits.  Returns (state', meta', stats [B, 128] f32
+    — lanes 0/1/2 = per-slot errbit/errblock/frames-retired this wave)."""
+    S2, B, N = state.shape
+    n = S2 // 2 - 1
+    chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
+              "spa": chk_exact}[flavor]
+    if tile == 0:
+        budget = 3 * 1024 * 1024 + 512 * 1024
+        cap = max(8, budget // ((S2 + 4) * N * 4))
+        tile = 8
+        while tile * 2 <= min(cap, 256) and B % (tile * 2) == 0:
+            tile *= 2
+        tile = min(tile, B)
+    assert B % tile == 0, (B, tile)
+    if not gen_bits:
+        assert bits is not None and bits.shape == (spares, B, N), bits
+    else:
+        bits = jnp.zeros((1, 8, N), jnp.int32)  # placeholder block (unread)
+    sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
+    seed_arr = jnp.asarray(seeds, jnp.int32).reshape(1, 2)
+    kernel = functools.partial(
+        _bp_wave_mc_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn,
+        rolls=rolls, iter_max=iter_max, delta=delta, gen_bits=gen_bits,
+        drain=drain, spares=spares,
+    )
+    bits_spec = (pl.BlockSpec((1, 8, N), lambda g: (0, 0, 0),
+                              memory_space=pltpu.VMEM) if gen_bits else
+                 pl.BlockSpec((spares, tile, N), lambda g: (0, g, 0),
+                              memory_space=pltpu.VMEM))
+    state, meta, stats = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((S2, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, N), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            bits_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((S2, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile, N), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S2, B, N), state.dtype),
+            jax.ShapeDtypeStruct((4, B, N), meta.dtype),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+    )(state, meta, u_table, sig, seed_arr, bits)
+    return state, meta, stats
 
 
 @functools.partial(

@@ -18,6 +18,7 @@ a (possibly multi-host) slice:
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional, Sequence
 
@@ -79,17 +80,34 @@ def scaling_bench(
         retired = None
         if engine == "wave":
             init, step, _ = make_wave_step(preset, batch, wave_iters, mesh)
+
+            # scan-chunk like run_point_waves/bench_waves: one dispatch per
+            # `spc` wave steps, or small batch_per_device records read at
+            # the ~24 ms tunnel dispatch floor and the derived efficiency
+            # is floor-clipped, not a scaling measurement (advisor r4)
+            spc = 4
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def chunk(key, sigma, carry):
+                def body(c, _):
+                    c2, out = step(key, sigma, c)
+                    return c2, out
+
+                carry, (eb, ebl, fr) = jax.lax.scan(body, carry, None,
+                                                    length=spc)
+                return carry, jnp.sum(fr)
+
             carry = init(key, jnp.int32(0), sigma)
             last = None
             for _ in range(warmup):
-                carry, last = step(key, sigma, carry)
+                carry, last = chunk(key, sigma, carry)
             if last is not None:
-                int(last[2])  # host-forced scalar sync (block_until_ready
+                int(last)  # host-forced scalar sync (block_until_ready
                 # does not reliably block through the tunnel — CLAUDE.md)
             t0 = time.perf_counter()
             frs = []
             for _ in range(steps):
-                carry, (eb, ebl, fr) = step(key, sigma, carry)
+                carry, fr = chunk(key, sigma, carry)
                 frs.append(fr)
             retired = int(sum(frs))  # one device-side sum, one readback
             rate = retired / (time.perf_counter() - t0)

@@ -508,6 +508,95 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
     return init, step, drain_step
 
 
+def make_wave_step_mc(preset: Preset, batch: int, wave_iters: int = 8,
+                      noise: str = "kernel", spares: int = 2) -> tuple:
+    """In-kernel-MC continuous-batching BP stepper (v3 wave engine).
+
+    The whole MC step — refill generation, K iterations, PER-ITERATION
+    G-matrix retirement with a one-spare-per-wave in-place refill, error
+    counting — runs inside one Pallas kernel
+    (ops/pallas/bp_kernel._bp_wave_mc_kernel); the XLA side only sums the
+    kernel's per-slot counters.  Two levers over the fused engine: the
+    ~10 % XLA refill slice (RNG + encode + count) disappears, and E[paid
+    iterations] drops from E[ceil(X/K)]*K (~16 at 2 dB) toward E[X] (~13.1)
+    — round-4 verdict item 1.
+
+    noise: "kernel" draws noise bits in-kernel (pltpu PRNG seeded per
+    (seed, step, tile)); "threefry" generates bits XLA-side with the
+    production threefry generator (the statistically conservative mode, and
+    the only mode off-TPU).  Either way payloads remain pure functions of
+    the frame index (slot-strided: slot s decodes frames s, s+B, ...); a
+    frame's NOISE is the spare of the wave it entered — deterministic in
+    (seed, B, tile, K, step) but, unlike the fused engine, not a function
+    of frame index alone.  Opt-in engine, BLER-qualified like chk_fast/R1.
+
+    Returns (init, step, drain) with make_wave_step's signatures.
+    """
+    from polardecoding_tpu.models.bp import (
+        bp_wave_mc, mc_delta, mc_meta_init, mc_u_table, wave_init_state,
+    )
+
+    code, dec = preset.code, preset.decoder
+    assert dec.kind == "bp", "wave stepping is a BP engine"
+    N, K = code.N, code.K
+    iter_max = dec.bp_iters
+    frozen = jnp.asarray(code_frozen_mask(code))
+    utab = mc_u_table(code_info_set(code), K, N)
+    delta = mc_delta(batch, K)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    gen_bits = noise == "kernel" and on_tpu
+
+    def _bits(ckey, stepc):
+        if gen_bits:
+            return None
+        return jax.random.bits(jax.random.fold_in(ckey, stepc),
+                               (spares, batch, N), jnp.uint32)
+
+    def _seeds(ckey, stepc):
+        s = jax.random.randint(ckey, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+        return jnp.stack([s, stepc])
+
+    @jax.jit
+    def init(key, frame_start, sigma):
+        # every slot starts pending: the first step's kernel head performs
+        # the initial fill.  frame_start folds into the noise key so a
+        # resumed segment draws fresh noise (payload offsets restart at the
+        # slot-strided schedule — the 63-periodic PN window repeats anyway).
+        ckey = jax.random.fold_in(key, frame_start)
+        llr0 = jnp.zeros((batch, N), jnp.float32)
+        state = wave_init_state(llr0, frozen)
+        return (state, mc_meta_init(batch, N, K), jnp.int32(0), ckey)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(key, sigma, carry):
+        state, meta, stepc, ckey = carry
+        state, meta, stats = bp_wave_mc(
+            state, meta, utab, sigma, _seeds(ckey, stepc),
+            bits=_bits(ckey, stepc), iters=wave_iters, flavor=dec.bp_flavor,
+            iter_max=iter_max, delta=delta, gen_bits=gen_bits, spares=spares)
+        eb = jnp.sum(stats[:, 0]).astype(jnp.int32)
+        ebl = jnp.sum(stats[:, 1]).astype(jnp.int32)
+        fr = jnp.sum(stats[:, 2]).astype(jnp.int32)
+        return (state, meta, stepc + 1, ckey), (eb, ebl, fr)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def drain(sigma, carry):
+        state, meta, stepc, ckey = carry
+        state, meta, stats = bp_wave_mc(
+            state, meta, utab, sigma, _seeds(ckey, stepc),
+            bits=_bits(ckey, stepc), iters=wave_iters, flavor=dec.bp_flavor,
+            iter_max=iter_max, delta=delta, gen_bits=gen_bits, drain=True,
+            spares=spares)
+        eb = jnp.sum(stats[:, 0]).astype(jnp.int32)
+        ebl = jnp.sum(stats[:, 1]).astype(jnp.int32)
+        fr = jnp.sum(stats[:, 2]).astype(jnp.int32)
+        dead = jnp.sum(meta[3, :, 0]).astype(jnp.int32)
+        return (state, meta, stepc + 1, ckey), (
+            eb, ebl, fr, jnp.int32(batch) - dead)
+
+    return init, step, drain
+
+
 def run_point_waves(
     preset: Preset,
     snr_db: float,
@@ -521,8 +610,14 @@ def run_point_waves(
     log: Optional[Callable[[str], None]] = None,
     fused: bool = True,
     check_every: int = 0,
+    engine: str = "fused",
+    noise: str = "kernel",
 ) -> PointResult:
-    """Adaptive MC at one SNR point on the continuous-batching BP engine."""
+    """Adaptive MC at one SNR point on the continuous-batching BP engine.
+
+    engine="mc" selects the in-kernel-MC v3 stepper (make_wave_step_mc:
+    per-iteration retirement, refill + counting inside the kernel; `noise`
+    picks its bit source).  Default "fused" is the exact-semantics engine."""
     sweep = preset.sweep
     seed = sweep.seed if seed is None else seed
     target = sweep.error_blocks if error_blocks is None else error_blocks
@@ -531,9 +626,13 @@ def run_point_waves(
         mesh = data_mesh()
     if batch is None:
         batch = round_up_batch(sweep.batch_per_device * mesh.devices.size, mesh)
-    init, step, drain_step = make_wave_step(preset, batch, wave_iters, mesh,
-                                            fused=fused,
-                                            check_every=check_every)
+    if engine == "mc":
+        init, step, drain_step = make_wave_step_mc(preset, batch, wave_iters,
+                                                   noise=noise)
+    else:
+        init, step, drain_step = make_wave_step(preset, batch, wave_iters,
+                                                mesh, fused=fused,
+                                                check_every=check_every)
     sigma = float(10.0 ** (-snr_db / 20.0))
     key = jax.random.fold_in(jax.random.PRNGKey(seed), int(round(snr_db * 100)))
     res = start_state or PointResult(preset.name, snr_db, 0, 0, 0, seed)
@@ -571,9 +670,11 @@ def run_point_waves(
             res.frames += int(pending[2])
         pending = out
         if log:
+            # counted frames lag one chunk behind dispatch (the lookahead)
             log(
-                f"{preset.name} @ {snr_db:.2f} dB (waves): frames={res.frames} "
-                f"errblock={res.errblock} bler={res.bler:.3e}"
+                f"{preset.name} @ {snr_db:.2f} dB (waves): "
+                f"counted={res.frames} errblock={res.errblock} "
+                f"bler={res.bler:.3e}"
             )
     if pending is not None:
         res.errbit += int(pending[0])
@@ -669,9 +770,13 @@ def run_point(
     seed: Optional[int] = None,
     start_state: Optional[PointResult] = None,
     log: Optional[Callable[[str], None]] = None,
+    sync_every: Optional[int] = None,
 ) -> PointResult:
     """Adaptive-length MC for one SNR point: run super-batches until the
     error-block target (ref stop rule, e.g. BP_128.c:168).
+
+    sync_every overrides the steps-per-dispatch chunking (default: 8 on
+    TPU — the dispatch-floor mitigation — and 1 on CPU).
 
     BP early-stop presets (decoder.bp_early_stop) are served by the
     continuous-batching wave engine (run_point_waves): each frame retires at
@@ -709,7 +814,8 @@ def run_point(
     # sync one chunk behind (overshoot frames are counted; MC unbiased).
     # CPU keeps the one-step path: no tunnel, and tests' tiny adaptive
     # points would pay 8x overshoot for nothing.
-    sync_every = 1 if jax.default_backend() == "cpu" else 8
+    if sync_every is None:
+        sync_every = 1 if jax.default_backend() == "cpu" else 8
 
     if sync_every == 1:
         while res.errblock < target and res.frames < cap:
@@ -747,7 +853,16 @@ def run_point(
             step_fn._pd_chunk = chunk
             step_fn._pd_chunk_cfg = (batch, sync_every)
         except AttributeError:
-            pass  # non-assignable callables just retrace per point
+            # non-assignable callables retrace the 8-step scan wrapper per
+            # point — at 20-60 s/compile through the tunnel this is an
+            # expensive silent path, so make it loud (verdict r4 item 9)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run_point: step_fn %r does not accept attributes; the "
+                "%d-step scan wrapper will RETRACE (and recompile) at "
+                "every SNR point — wrap the callable in a function or "
+                "functools.partial to enable caching", step_fn, sync_every)
 
     def take(out):
         res.errbit += int(out[0])
@@ -764,9 +879,12 @@ def run_point(
             take(pending)
         pending = out
         if log:
+            # counters lag one chunk behind dispatch (the lookahead): log
+            # both so progress is not under-reported (advisor r4)
             log(
-                f"{preset.name} @ {snr_db:.2f} dB: frames={res.frames} "
-                f"errblock={res.errblock} bler={res.bler:.3e}"
+                f"{preset.name} @ {snr_db:.2f} dB: issued={issued} "
+                f"counted={res.frames} errblock={res.errblock} "
+                f"bler={res.bler:.3e}"
             )
     if pending is not None:
         take(pending)

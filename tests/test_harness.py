@@ -285,3 +285,38 @@ def test_wave_fused_step_matches_unfused():
     # drain totals differ only by the final unissued refill batch; both
     # census a positive number of frames with no crash
     assert outs[True][1][2] >= 0 and outs[False][1][2] >= 0
+
+
+def test_run_point_warns_on_nonassignable_step_fn(caplog):
+    """A step_fn that cannot carry the cached scan wrapper retraces per
+    point — expensive through the tunnel, so it must be loud (verdict r4
+    item 9).  sync_every is forced > 1 to reach the chunked path on CPU."""
+    import logging
+
+    p = preset("BP_128")
+    mesh = data_mesh()
+    base = make_frame_step(p, batch=64, mesh=mesh)
+
+    class NoAttrs:
+        __slots__ = ("fn",)
+
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, *a, **k):
+            return self.fn(*a, **k)
+
+    with caplog.at_level(logging.WARNING,
+                         logger="polardecoding_tpu.parallel.harness"):
+        res = run_point(p, 4.0, batch=64, mesh=mesh, step_fn=NoAttrs(base),
+                        error_blocks=1, max_frames=128, sync_every=2)
+    assert res.frames >= 128
+    assert any("RETRACE" in r.message for r in caplog.records)
+
+    # assignable callables must NOT warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="polardecoding_tpu.parallel.harness"):
+        run_point(p, 4.0, batch=64, mesh=mesh, step_fn=base,
+                  error_blocks=1, max_frames=128, sync_every=2)
+    assert not any("RETRACE" in r.message for r in caplog.records)
