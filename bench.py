@@ -49,12 +49,15 @@ BASELINE_FRAMES_PER_SEC = 1e7
 
 
 def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
-               profile_dir=None, mesh=None, encoder="mxu"):
+               profile_dir=None, mesh=None, encoder="mxu",
+               channel="threefry"):
     """frames/s of the full MC pipeline (gen + encode + channel + decode +
-    count) for one preset at one SNR."""
+    count) for one preset at one SNR.  channel="mc" uses the in-kernel MC
+    channel generator (ops/pallas/channel_kernel.py)."""
     p = preset(preset_name)
     mesh = mesh or data_mesh()
-    step = make_frame_step(p, batch=batch, mesh=mesh, encoder=encoder)
+    step = make_frame_step(p, batch=batch, mesh=mesh, encoder=encoder,
+                           channel=channel)
     key = jax.random.PRNGKey(p.sweep.seed)
     sigma = jnp.float32(10.0 ** (-snr_db / 20.0))
 
@@ -86,7 +89,7 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
                 steps=12, warmup=3, mesh=None, fused=True, encoder="mxu",
                 check_every=0, steps_per_call=8, engine="fused",
-                noise="kernel"):
+                noise="kernel", cadence=1):
     """Steady-state retired frames/s of the continuous-batching BP engine.
 
     Steps run `steps_per_call` per jit dispatch via lax.scan (counters
@@ -102,7 +105,8 @@ def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
     p = preset(preset_name)
     mesh = mesh or data_mesh()
     if engine == "mc":
-        init, step, _ = make_wave_step_mc(p, batch, wave_iters, noise=noise)
+        init, step, _ = make_wave_step_mc(p, batch, wave_iters, noise=noise,
+                                          cadence=cadence)
     else:
         init, step, _ = make_wave_step(p, batch, wave_iters, mesh,
                                        fused=fused, encoder=encoder,
@@ -165,16 +169,31 @@ def main():
                          "(default; bit-identical codewords, measured faster "
                          "— docs/ROOFLINE.md 'encode on the MXU') or the "
                          "butterfly xor-stage path")
+    ap.add_argument("--wave-k", type=int, default=0,
+                    help="wave_iters K (0 = per-engine default: 8 fused, "
+                         "32 mc — the r5 A/B optimum)")
+    ap.add_argument("--wave-cadence", type=int, default=2,
+                    help="mc-engine retire-check cadence (r5 A/B: c2 best)")
+    ap.add_argument("--channel", choices=("threefry", "mc"),
+                    default="threefry",
+                    help="frame-step channel: production threefry or the "
+                         "in-kernel MC channel kernel (qualified flavor)")
     ap.add_argument("--wave-engine", choices=("fused", "mc"),
-                    default="fused",
-                    help="wave stepper: the exact-semantics fused kernel, or "
-                         "the in-kernel-MC v3 engine (per-iteration "
-                         "retirement + in-kernel refill/counting — opt-in "
-                         "flavor under BLER qualification)")
-    ap.add_argument("--wave-noise", choices=("kernel", "threefry"),
+                    default="mc",
+                    help="wave stepper: the in-kernel-MC v3 engine "
+                         "(cadenced in-kernel retirement + refill + "
+                         "counting; qualified r5 — tail BLER ratio 0.956, "
+                         "2.0 dB 0.946 from earlier retirement, "
+                         "results/hw_queue_r5/step10) or the fused "
+                         "boundary-retirement engine (the conservative "
+                         "configuration run_point sweeps use)")
+    ap.add_argument("--wave-noise", choices=("kernel", "hw", "threefry"),
                     default="kernel",
-                    help="mc engine bit source: in-kernel pltpu PRNG or "
-                         "XLA-side threefry bits")
+                    help="mc engine bit source: in-kernel counter-based "
+                         "threefry2x32 (default; production-generator "
+                         "statistics), the pltpu hardware PRNG (FAILED the "
+                         "tail qualification — A/B record only), or "
+                         "XLA-side threefry bit arrays")
     ap.add_argument("--wave-check-every", type=int, default=0,
                     help="in-wave G-check cadence with per-frame latch "
                          "(0 = boundary-only); candidate r4 default pending "
@@ -198,7 +217,8 @@ def main():
                               args.warmup, profile_dir=args.profile,
                               encoder=args.encoder)
     scl_fps = bench_step(args.scl_preset, args.scl_batch, args.snr,
-                         args.iters, args.warmup, encoder=args.encoder)
+                         args.iters, args.warmup, encoder=args.encoder,
+                         channel=args.channel)
     # the exact-semantics SCL leg under its own stable key, so round-over-
     # round comparisons never silently mix the exact decoder with the
     # qualified FASTR1 flavor (advisor r4)
@@ -208,12 +228,15 @@ def main():
                                 encoder=args.encoder))
     bp_wave_fps = None
     if not args.skip_wave:
+        wave_k = args.wave_k or (32 if args.wave_engine == "mc" else 8)
         bp_wave_fps = bench_waves(args.wave_preset, args.wave_batch, args.snr,
+                                  wave_iters=wave_k,
                                   fused=not args.unfused_wave,
                                   encoder=args.encoder,
                                   check_every=args.wave_check_every,
                                   engine=args.wave_engine,
-                                  noise=args.wave_noise)
+                                  noise=args.wave_noise,
+                                  cadence=args.wave_cadence)
 
     bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)

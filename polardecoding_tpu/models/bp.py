@@ -343,20 +343,30 @@ def bp_wave_fused(state, ch_llr, retire, iters: int = 8,
 
 
 def mc_u_table(info_positions, K: int, N: int):
-    """[64, N] f32: row m = the true-u row for PN offset m (63 rows + a zero
-    pad row).  Payload bit i of a frame with offset m is PN[(m + i) % 63]
-    (SC_128.c:179-181); frozen positions are 0."""
+    """[128, N] f32: row m = the true-u row for PN offset m (63 rows + zero
+    pad rows — 128 so the kernel can select rows with a one-hot [TB, 128]
+    @ table MXU matmul).  Payload bit i of a frame with offset m is
+    PN[(m + i) % 63] (SC_128.c:179-181); frozen positions are 0."""
     from polardecoding_tpu.utils.pn import PN_PERIOD, pn_sequence
 
     pn = pn_sequence()
     import numpy as np
 
-    tab = np.zeros((64, N), np.float32)
+    tab = np.zeros((128, N), np.float32)
     I = np.asarray(info_positions)
     for m in range(PN_PERIOD):
         idx = (m + np.arange(K)) % PN_PERIOD
         tab[m, I] = pn[idx]
     return jnp.asarray(tab)
+
+
+def mc_tables(info_positions, K: int, N: int):
+    """(u_table, x_table) [128, N] f32 each: payload rows and their ENCODED
+    codewords x = u . F^{tensor n} — precomputed so the kernel's refill is
+    two one-hot matmuls with no in-kernel encode."""
+    utab = mc_u_table(info_positions, K, N)
+    xtab = polar_encode(utab.astype(jnp.int8)).astype(jnp.float32)
+    return utab, xtab
 
 
 def mc_delta(batch: int, K: int) -> int:
@@ -377,10 +387,11 @@ def mc_meta_init(batch: int, N: int, K: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "iters", "flavor", "iter_max", "delta", "drain", "spares"))
+    "iters", "flavor", "iter_max", "delta", "drain", "spares", "cadence"))
 def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
                    flavor: str = "minsum_lut", iter_max: int = 100,
-                   delta: int = 0, drain: bool = False, spares: int = 2):
+                   delta: int = 0, drain: bool = False, spares: int = 2,
+                   cadence: int = 1):
     """jnp twin of the in-kernel-MC wave kernel (gen_bits=False semantics:
     `bits` [spares, B, N] uint32 supplies the generations' noise).
     Bit-identical to the Pallas kernel in interpret mode.  Returns
@@ -399,7 +410,6 @@ def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
     m_in, u_in, it_in, pend_in = meta[0], meta[1], meta[2], meta[3]
     sigma = jnp.asarray(sigma, f32)
     inv_s = 1.0 / sigma
-    cA = 2.0 * inv_s * inv_s
     cB = 2.0 * inv_s
     m_g, u_g, llr_g = [], [], []
     for g in range(spares):
@@ -411,7 +421,8 @@ def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
         z = gaussian_from_bits(bits[g])
         m_g.append(mg)
         u_g.append(ug)
-        llr_g.append(cA * (1.0 - 2.0 * xg) + cB * z)
+        sgn = jnp.where(xg > 0.5, -inv_s, inv_s)  # contraction-proof form
+        llr_g.append(cB * (sgn + z))
 
     def gen_sel(ptr):
         m_s, u_s, l_s = m_g[0], u_g[0], llr_g[0]
@@ -435,23 +446,31 @@ def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
     ptr = rmf
     pend_c = pend_in if drain else zero
 
-    def body(it, c):
-        st, m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr = c
+    # mirrors the kernel's unrolled loop exactly: checks only at cadence
+    # boundaries (and always at the last iteration); `since` accumulates
+    # the iterations applied to it_c at each check
+    eb, ebl, fr = zero, zero, zero
+    since = 0
+    for it in range(iters):
         Ls = [st[i] for i in range(n + 1)]
         Rs = [st[n + 1 + i] for i in range(n + 1)]
         Ls, Rs = bp_iteration(Ls, Rs, chk_fn)
         st = jnp.stack(Ls + Rs, axis=0)
+        since += 1
+        last = it == iters - 1
+        if not ((it + 1) % cadence == 0 or last):
+            continue
         alive = 1.0 - pend_c
-        it_c = it_c + alive
+        it_c = it_c + f32(since) * alive
+        since = 0
         u8, ok = wave_decide(st, frozen_row[0])
         u = u8.astype(f32)
         okm = jnp.broadcast_to(ok[:, None], (B, N)).astype(f32)
         done = jnp.maximum(okm, (it_c >= f32(iter_max)).astype(f32)) * alive
-        lastf = (it == iters - 1).astype(f32)
         has = (avail > 0.5).astype(f32)
         retire_now = done * has
-        retire_bd = done * (1.0 - has) * lastf
-        retire = retire_now + retire_bd
+        retire = retire_now if not last else (
+            retire_now + done * (1.0 - has))
         bad = jnp.abs(u - u_c) * retire
         eb = eb + bad
         ebl = ebl + jnp.max(bad, axis=1, keepdims=True)
@@ -467,12 +486,8 @@ def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
         it_c = jnp.where(rm2, zero, it_c)
         ptr = ptr + retire_now
         avail = avail - retire_now
-        pend_c = jnp.maximum(pend_c, retire_bd)
-        return st, m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr
-
-    st, m_c, u_c, it_c, pend_c, _, _, eb, ebl, fr = lax.fori_loop(
-        0, iters, body,
-        (st, m_c, u_c, it_c, pend_c, ptr, avail, zero, zero, zero))
+        if last:
+            pend_c = jnp.maximum(pend_c, done * (1.0 - has))
     meta = jnp.stack([m_c, u_c, it_c, pend_c], axis=0)
     stats = jnp.stack([
         jnp.sum(eb, axis=1), jnp.max(ebl, axis=1), jnp.max(fr, axis=1)
@@ -480,10 +495,12 @@ def bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters: int = 8,
     return st, meta, stats
 
 
-def bp_wave_mc(state, meta, u_table, sigma, seeds, bits=None, iters: int = 8,
+def bp_wave_mc(state, meta, u_table, x_table, sigma, seeds, bits=None,
+               iters: int = 8,
                flavor: str = "minsum_lut", iter_max: int = 100,
                delta: int = 0, gen_bits: bool = True, drain: bool = False,
-               spares: int = 2):
+               spares: int = 2, cadence: int = 1, tile: int = 0,
+               bit_gen: str = "tf32"):
     """Backend dispatch for the in-kernel-MC wave step.  On TPU runs the
     Pallas kernel (gen_bits=True draws noise bits in-kernel; False takes
     threefry `bits`); elsewhere the jnp twin (requires bits)."""
@@ -491,14 +508,15 @@ def bp_wave_mc(state, meta, u_table, sigma, seeds, bits=None, iters: int = 8,
         from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_mc_pallas
 
         state, meta, stats = bp_wave_mc_pallas(
-            state, meta, u_table, sigma, seeds, bits, iters=iters,
+            state, meta, u_table, x_table, sigma, seeds, bits, iters=iters,
             flavor=flavor, iter_max=iter_max, delta=delta, gen_bits=gen_bits,
-            drain=drain, spares=spares)
+            drain=drain, spares=spares, cadence=cadence, tile=tile,
+            bit_gen=bit_gen)
         return state, meta, stats[:, :3]
     assert bits is not None, "jnp MC twin needs XLA-side noise bits"
     return bp_wave_mc_jnp(state, meta, u_table, sigma, bits, iters=iters,
                           flavor=flavor, iter_max=iter_max, delta=delta,
-                          drain=drain, spares=spares)
+                          drain=drain, spares=spares, cadence=cadence)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "flavor", "checkpoints"))

@@ -256,9 +256,15 @@ def _scl_kernel(ch_llr, frozen, list_size, r1=0):
 
         n = ch_llr.shape[-1].bit_length() - 1
         B = ch_llr.shape[0]
+        import os
+
+        # measurement hook for the r5 in-kernel channel-replication A/B
+        # (scripts/ab_sclmc.py); production default is the in-kernel path
+        ch_rep = os.environ.get("PD_SCL_CHREP", "1") == "1"
         return scl_decode_fast(ch_llr, fz, list_size=list_size,
                                wloop=default_wloop(n, list_size), r1=r1,
-                               tiles=default_tiles(n, list_size, B))
+                               tiles=default_tiles(n, list_size, B),
+                               ch_rep=ch_rep)
     if r1 > 0:
         # a traced (non-static) mask cannot reach the frozen-specialized
         # fast kernel, so the approximate flavor is unavailable: fall back

@@ -22,6 +22,7 @@ interpret mode, which is what tests/test_wave_mc.py pins.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SQRT2 = 1.4142135623730951
@@ -30,10 +31,12 @@ _SQRT2 = 1.4142135623730951
 def uniform_pm1_from_bits(bits):
     """uint32/int32 random bits -> f32 uniform strictly inside (-1, 1).
 
-    Uses bits 9..31 (23 bits).  The shift-then-mask form is arithmetic-shift
-    safe, so int32-typed bits (pltpu.prng_random_bits on some versions)
-    convert identically to uint32.
+    Uses bits 9..31 (23 bits).  uint32 inputs are bitcast to int32 first
+    (Mosaic cannot lower uint32 -> float32 casts); the shift-then-mask form
+    is arithmetic-shift safe, so both signednesses convert identically.
     """
+    if bits.dtype != jnp.int32:
+        bits = jax.lax.bitcast_convert_type(bits, jnp.int32)
     f = ((bits >> 9) & 0x7FFFFF).astype(jnp.float32)
     u = (f + 0.5) * jnp.float32(2.0 ** -23)  # (0, 1) strictly
     return 2.0 * u - 1.0
@@ -73,3 +76,48 @@ def erfinv_f32(x):
 def gaussian_from_bits(bits):
     """Random bits -> f32 standard normal (inverse-CDF, 23-bit granularity)."""
     return jnp.float32(_SQRT2) * erfinv_f32(uniform_pm1_from_bits(bits))
+
+
+# ---------------------------------------------------------------------------
+# Counter-based threefry2x32 — the production generator, expressed in ops
+# Mosaic can lower (u32 add/xor/shift), so kernels can draw
+# statistically-production-grade bits from explicit counters.
+#
+# Why not pltpu.prng_random_bits: its per-core generator seeded per
+# (seed, step, tile) measured BLER-deficient at the 3.5 dB tail exactly like
+# the rejected rbg experiment (results/hw_queue_r5/step8-9: wave-MC ratio
+# 0.854, fixed-decoder channel ratio 0.893 vs threefry) — sequentially
+# seeded hardware streams are not a substitute for a counter-based hash.
+# Verified bit-exact against jax._src.prng.threefry_2x32
+# (tests/test_wave_mc.py::test_threefry2x32_matches_jax).
+
+_TF_ROT0 = (13, 15, 26, 6)
+_TF_ROT1 = (17, 29, 16, 24)
+_TF_PARITY = 0x1BD11BDA
+
+
+def _rotl(x, r):
+    return (x << r) | (x >> (32 - r))
+
+
+def threefry2x32(k0, k1, x0, x1):
+    """One threefry-2x32 block: keys (k0, k1), counter words (x0, x1) ->
+    two output words.  All inputs uint32 (arrays broadcast elementwise)."""
+    u32 = jnp.uint32
+    k0 = jnp.asarray(k0, u32)
+    k1 = jnp.asarray(k1, u32)
+    x0 = jnp.asarray(x0, u32)
+    x1 = jnp.asarray(x1, u32)
+    ks2 = k0 ^ k1 ^ u32(_TF_PARITY)
+    keys = (k0, k1, ks2)
+    x0 = x0 + k0
+    x1 = x1 + k1
+    for r in range(5):
+        rots = _TF_ROT0 if r % 2 == 0 else _TF_ROT1
+        for rot in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, rot)
+            x1 = x0 ^ x1
+        x0 = x0 + keys[(r + 1) % 3]
+        x1 = x1 + keys[(r + 2) % 3] + u32(r + 1)
+    return x0, x1

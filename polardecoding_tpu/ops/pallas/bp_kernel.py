@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polardecoding_tpu.ops.chk import chk, chk_exact, chk_fast
-from polardecoding_tpu.ops.noise import gaussian_from_bits
+from polardecoding_tpu.ops.noise import gaussian_from_bits, threefry2x32
 
 
 def _upper_mask(i, TB, N):
@@ -366,39 +366,51 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
     return state, u_hat, done[:, 0].astype(bool)
 
 
-def _bp_wave_mc_kernel(state_in, meta_in, utab_ref, sig_ref, seed_ref,
-                       bits_ref, state, meta, stats_ref, *, n, N, TB, iters,
-                       chk_fn, rolls, iter_max, delta, gen_bits, drain,
-                       spares):
+def _bp_wave_mc_kernel(state_in, meta_in, utab_ref, xtab_ref, sig_ref,
+                       seed_ref, bits_ref, state, meta, stats_ref, *, n, N,
+                       TB, iters, chk_fn, rolls, iter_max, delta, gen_bits,
+                       drain, spares, cadence, bit_gen):
     """Fully in-kernel Monte-Carlo wave: refill GENERATION + merge + K
-    iterations + per-iteration G-matrix retirement + error counting, one
-    kernel — the round-4 verdict's "in-kernel MC refill" lever.  The XLA
-    side of a step shrinks to summing this kernel's per-slot counters.
+    iterations + cadenced G-matrix retirement + error counting, one kernel
+    — the round-4 verdict's "in-kernel MC refill" lever.  The XLA side of
+    a step shrinks to summing this kernel's per-slot counters.
 
     Why the refill can live in-kernel: payloads depend only on the PN window
     offset m in {0..62} (SC_128.c:179-181 — 63 distinct payloads, hence 63
-    distinct codewords), so `utab_ref` [64, N] carries every possible true-u
-    row; the codeword is re-derived by the in-kernel GF(2) encode
-    (_gmat_encode, the same pass the G-check uses) and the channel is
-    BPSK + sigma * N(0,1) with the Gaussian built from raw PRNG bits
+    distinct codewords).  utab_ref/xtab_ref [128, N] carry every possible
+    true-u row and its ENCODED codeword; a one-hot(m) @ table matmul on the
+    otherwise-idle MXU materializes both EXACTLY (one 1.0 per row; f32
+    accumulation of a single product is exact).  The channel is BPSK +
+    sigma * N(0,1) with the Gaussian built from raw PRNG bits
     (ops/noise.py — the same erfinv construction jax.random.normal uses).
     Bits come from pltpu.prng_random_bits seeded per (seed, step, tile)
     when gen_bits, else from `bits_ref` (threefry bits generated XLA-side —
     the CPU-testable and statistically conservative mode).
 
+    MXU offload is the load-bearing optimization (r5): the first, VPU-only
+    version spent ~0.37 iteration-equivalents PER CHECK in lane reductions
+    (jnp.all/jnp.max over 1024 lanes) and sublane-broadcast select chains,
+    erasing the retirement gain entirely (319.7k vs fused 325.3k,
+    results/hw_queue_r5/step1).  Here every lane reduction is a
+    [TB, N] @ [N, 128] ones-matrix matmul, the payload/codeword selects are
+    one-hot matmuls, and ALL per-slot flag arithmetic runs at [TB, 128]
+    width (8x fewer lanes), broadcast to [TB, N] only where a plane merge
+    needs a mask.
+
     Retirement semantics (vs the boundary-only fused kernel): `spares`
     fresh frame GENERATIONS per slot (gen g = payload offset m + (g+1)*
-    delta) are built at the head.  Each iteration runs the G-check; a done
-    frame whose slot still has a generation left retires IMMEDIATELY
-    (counted with its current decision) and the slot restarts on the next
-    generation in place — E[paid iterations] drops from E[ceil(X/K)]*K
-    (~16 at 2 dB) toward E[X] (~13.1).  Slots arriving `pending` consume
-    generation 0 in the head merge (the fused kernel's head-merge pattern).
-    A done frame with no generation left keeps sweeping to the wave
-    boundary, where it retires into `pending` for the next head.  Frames
-    at iter_max retire the same ways.  spares >= 2 matters: with one, a
-    head-refilled frame could never retire mid-wave in its own entry wave
-    and E[paid] degenerates to E[max(X, K)].
+    delta) are built at the head.  Every `cadence` iterations (and always
+    at the wave boundary) the G-check runs; a done frame whose slot still
+    has a generation left retires IMMEDIATELY (counted with its current
+    decision) and the slot restarts on the next generation in place —
+    E[paid iterations] drops from E[ceil(X/K)]*K (~16 at 2 dB) toward
+    E[X].  Slots arriving `pending` consume generation 0 in the head merge
+    (the fused kernel's head-merge pattern).  A done frame with no
+    generation left keeps sweeping to the wave boundary, where it retires
+    into `pending` for the next head.  Frames at iter_max retire the same
+    ways.  spares >= 2 matters: with one, a head-refilled frame could
+    never retire mid-wave in its own entry wave and E[paid] degenerates to
+    E[max(X, K)].
 
     meta planes (f32, lane-broadcast where scalar): 0 = m of the current
     frame, 1 = true-u row of the current frame, 2 = iterations done,
@@ -407,7 +419,7 @@ def _bp_wave_mc_kernel(state_in, meta_in, utab_ref, sig_ref, seed_ref,
     indices s, s+B, s+2B, ...) — payloads stay a pure function of the frame
     index; the noise a frame receives is the spare of the wave it entered,
     deterministic in (seed, B, tile, K, step) but — unlike the XLA wave
-    engine — not a function of the frame index alone.  Opt-in engine,
+    engine — not a function of frame index alone.  Opt-in engine,
     BLER-qualified like chk_fast/R1 (docs/ROOFLINE.md).
 
     stats_ref [TB, 128]: lane 0 = errbit, 1 = errblock, 2 = frames retired
@@ -417,64 +429,101 @@ def _bp_wave_mc_kernel(state_in, meta_in, utab_ref, sig_ref, seed_ref,
     f32 = jnp.float32
     ups = [_upper_mask(i, TB, N) for i in range(n)]
     zero = jnp.zeros((TB, N), f32)
-    one = jnp.ones((TB, N), f32)
+    z128 = jnp.zeros((TB, 128), f32)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 1).astype(f32)
+    ones_red = jnp.ones((N, 128), f32)  # lane-reduction matrix (MXU)
+    REP = N // 128
 
-    m_in = meta_in[0, :, :]
+    def b128(x):
+        """[TB, 128] per-slot values -> [TB, N] lane-replicated."""
+        return x if REP == 1 else jnp.concatenate([x] * REP, axis=1)
+
+    def dotf(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # per-slot scalar planes live at [TB, 128]; meta I/O is lane-broadcast
+    m_in = meta_in[0, :, 0:128]
     u_in = meta_in[1, :, :]
-    it_in = meta_in[2, :, :]
-    pend_in = meta_in[3, :, :]
+    it_in = meta_in[2, :, 0:128]
+    pend_in = meta_in[3, :, 0:128]
 
     # ---- spare-generation build (once per wave): gens g = 0..spares-1 ----
     sigma = sig_ref[0, 0]
     inv_s = 1.0 / sigma
-    cA = 2.0 * inv_s * inv_s  # LLR = cA * (1 - 2x) + cB * z  (2y/sigma^2)
     cB = 2.0 * inv_s
-    if gen_bits:
-        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1], pl.program_id(0))
-    m_g, u_g, llr_g = [], [], []
+    if gen_bits and bit_gen == "hw":
+        # Mosaic caps prng_seed at 2 values: fold (step, tile) into one —
+        # unique while step < 2^18 with grids up to 8192 tiles.  NOTE: this
+        # sequentially-seeded hardware stream measured BLER-deficient at
+        # the 3.5 dB tail (results/hw_queue_r5/step8-9) — kept only for the
+        # A/B record; production bit_gen is the counter-based "tf32".
+        pltpu.prng_seed(seed_ref[0, 2],
+                        seed_ref[0, 3] * jnp.int32(8192) + pl.program_id(0))
+    if gen_bits and bit_gen == "tf32":
+        # counter-based threefry2x32 (ops/noise.py — bit-exact vs jax's):
+        # key = the run key words, counter = (step*spares + gen,
+        # global element index): bits are a pure function of
+        # (seed, step, slot, gen) — tile-size-independent
+        # Mosaic bitcasts/conversions need VECTOR operands: broadcast the
+        # SMEM scalars to planes before going unsigned
+        u32 = jnp.uint32
+        zi = jnp.zeros((TB, N), jnp.int32)
+        tf_k0 = (zi + seed_ref[0, 0]).astype(u32)
+        tf_k1 = (zi + seed_ref[0, 1]).astype(u32)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (TB, N), 0)
+                + pl.program_id(0) * TB)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
+        tf_clo = (rows * N + lanes).astype(u32)
+    # MXU dispatches carry ~us-scale latency each at TB=32 (measured:
+    # 2 dots/check ~ 0.3 iteration-equivalents), so dots are BATCHED:
+    # one stacked one-hot matmul selects every generation's payload row AND
+    # codeword row ([spares*TB, 128] @ [128, 2N]).
+    m_g, u_g, llr_g, ohs = [], [], [], []
     for g in range(spares):
         dm = f32(((g + 1) * delta) % 63)
         mg = m_in + dm
-        mg = jnp.where(mg >= 63.0, mg - 63.0, mg)
-        ug = zero
-        for j in range(63):
-            row = jnp.broadcast_to(utab_ref[j:j + 1, :], (TB, N))
-            ug = jnp.where(mg == f32(j), row, ug)
-        xg = _gmat_encode(ug, ups, n, N)  # 0/1 codeword
-        if gen_bits:
+        mg = jnp.where(mg >= 63.0, mg - 63.0, mg)  # [TB, 128]
+        m_g.append(mg)
+        ohs.append((mg == lane128).astype(f32))  # one-hot over table rows
+    tabs = jnp.concatenate([utab_ref[:, :], xtab_ref[:, :]], axis=1)
+    rows = dotf(jnp.concatenate(ohs, axis=0), tabs)  # exact row selects
+    for g in range(spares):
+        ug = rows[g * TB:(g + 1) * TB, 0:N]
+        xg = rows[g * TB:(g + 1) * TB, N:2 * N]
+        if gen_bits and bit_gen == "tf32":
+            c_hi = (zi + (seed_ref[0, 3] * jnp.int32(spares)
+                          + jnp.int32(g))).astype(jnp.uint32)
+            bits, _ = threefry2x32(tf_k0, tf_k1, c_hi, tf_clo)
+        elif gen_bits:
             bits = pltpu.prng_random_bits((TB, N))
         else:
             bits = bits_ref[g, :, :]
         z = gaussian_from_bits(bits)
-        m_g.append(mg)
+        # LLR = 2y/sigma^2 = (2/sigma) * ((1-2x)/sigma + z), with the BPSK
+        # sign via a SELECT and the scale applied after the add: no a*b+c
+        # pattern, so XLA FMA contraction cannot make the kernel and the
+        # jnp twin disagree on the merged llr plane (tests pin equality)
+        sgn = jnp.where(xg > 0.5, -inv_s, inv_s)
         u_g.append(ug)
-        llr_g.append(cA * (1.0 - 2.0 * xg) + cB * z)
-
-    def gen_sel(ptr):
-        """(m, u, llr) of the generation `ptr` points at (select chain)."""
-        m_s, u_s, l_s = m_g[0], u_g[0], llr_g[0]
-        for g in range(1, spares):
-            pick = ptr == f32(g)
-            m_s = jnp.where(pick, m_g[g], m_s)
-            u_s = jnp.where(pick, u_g[g], u_s)
-            l_s = jnp.where(pick, llr_g[g], l_s)
-        return m_s, u_s, l_s
+        llr_g.append(cB * (sgn + z))
 
     # ---- head merge: refill pending slots (consuming gen 0) --------------
-    rm = jnp.zeros((TB, N), bool) if drain else (pend_in > 0.5)
-    state[n, :, :] = jnp.where(rm, llr_g[0], state_in[n, :, :])
+    rm128 = (jnp.zeros((TB, 128), bool) if drain else (pend_in > 0.5))
+    rmN = b128(rm128)
+    state[n, :, :] = jnp.where(rmN, llr_g[0], state_in[n, :, :])
     state[n + 1, :, :] = state_in[n + 1, :, :]  # R(0): frozen row, shared
     for i in range(n):
-        state[i, :, :] = jnp.where(rm, zero, state_in[i, :, :])
-        state[n + 2 + i, :, :] = jnp.where(rm, zero,
+        state[i, :, :] = jnp.where(rmN, zero, state_in[i, :, :])
+        state[n + 2 + i, :, :] = jnp.where(rmN, zero,
                                            state_in[n + 2 + i, :, :])
-    m_c = jnp.where(rm, m_g[0], m_in)
-    u_c = jnp.where(rm, u_g[0], u_in)
-    it_c = jnp.where(rm, zero, it_in)
-    rmf = rm.astype(f32)
-    avail = zero if drain else f32(spares) * one - rmf  # gens left
+    m_c = jnp.where(rm128, m_g[0], m_in)
+    u_c = jnp.where(rmN, u_g[0], u_in)
+    it_c = jnp.where(rm128, z128, it_in)
+    rmf = rm128.astype(f32)
+    avail = z128 if drain else f32(spares) - rmf  # generations left
     ptr = rmf  # next generation to consume
-    pend_c = pend_in if drain else zero
+    pend_c = pend_in if drain else z128
 
     def L(i):
         return state[i, :, :]
@@ -493,75 +542,107 @@ def _bp_wave_mc_kernel(state_in, meta_in, utab_ref, sig_ref, seed_ref,
     frozen = R(0) > 0.0
 
     def decide():
+        """(u [TB, N] 0/1, ok [TB, 128] 0/1): G-matrix rule, reduction on
+        the MXU (mismatch count = mism @ ones)."""
         u = jnp.where(frozen, 0.0, (L(0) + R(0) < 0).astype(f32))
         x = _gmat_encode(u, ups, n, N)
-        post_hard = (L(n) + R(n)) < 0.0
-        ok = jnp.all((x > 0.5) == post_hard, axis=1, keepdims=True)
-        return u, jnp.broadcast_to(ok, (TB, N)).astype(f32)
+        post = ((L(n) + R(n)) < 0.0).astype(f32)
+        mism = jnp.abs(x - post)
+        cnt = dotf(mism, ones_red)
+        return u, (cnt < 0.5).astype(f32)
 
-    def body(it, c):
-        m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr = c
+    # Unrolled iteration loop (no lax.fori_loop): unrolling keeps the
+    # per-slot bookkeeping in SSA values instead of loop carries and makes
+    # the retire-check CADENCE static — iterations without a check emit
+    # zero decide/merge/count code.  cadence divides the machinery cost by
+    # c at the price of up to c-1 extra paid iterations per frame; the
+    # wave boundary always checks.
+    # per-EVENT bad accumulators: a slot retires at most once per
+    # generation pointer value (mid-wave events at ptr 0..spares-1, the
+    # boundary event at ptr == spares), so accumulating each event's bad
+    # row into acc[ptr] keeps events separable — the errbit AND errblock
+    # reductions then collapse into ONE stacked MXU dot at the wave end
+    # instead of one dot per check
+    accs = [zero for _ in range(spares + 1)]
+    fr = z128
+    since = 0
+    for it in range(iters):
         one_iteration()
+        since += 1
+        last = it == iters - 1
+        if not ((it + 1) % cadence == 0 or last):
+            continue
         alive = 1.0 - pend_c  # non-drain: pend only set on the last iter
-        it_c = it_c + alive
-        u, okm = decide()
-        done = jnp.maximum(okm, (it_c >= f32(iter_max)).astype(f32)) * alive
-        lastf = (it == iters - 1).astype(f32)
+        it_c = it_c + f32(since) * alive
+        since = 0
+        u, ok = decide()
+        done = jnp.maximum(ok, (it_c >= f32(iter_max)).astype(f32)) * alive
         has = (avail > 0.5).astype(f32)
         retire_now = done * has
-        retire_bd = done * (1.0 - has) * lastf
-        retire = retire_now + retire_bd
-        bad = jnp.abs(u - u_c) * retire  # frozen lanes agree (both 0)
-        eb = eb + bad
-        ebl = ebl + jnp.max(bad, axis=1, keepdims=True)
+        retire = retire_now if not last else (
+            retire_now + done * (1.0 - has))
+        bad = jnp.abs(u - u_c) * b128(retire)  # frozen lanes agree (both 0)
+        for e in range(spares + 1):
+            pick_e = b128((ptr == f32(e)).astype(f32))
+            accs[e] = accs[e] + bad * pick_e
         fr = fr + retire
         # in-place refill of immediately-retiring slots from the next gen
-        m_nx, u_nx, llr_nx = gen_sel(ptr)
+        m_nx, u_nx, llr_nx = m_g[0], u_g[0], llr_g[0]
+        for g in range(1, spares):
+            pick = ptr == f32(g)
+            pickN = b128(pick)
+            m_nx = jnp.where(pick, m_g[g], m_nx)
+            u_nx = jnp.where(pickN, u_g[g], u_nx)
+            llr_nx = jnp.where(pickN, llr_g[g], llr_nx)
         rm2 = retire_now > 0.5
-        state[n, :, :] = jnp.where(rm2, llr_nx, state[n, :, :])
+        rm2N = b128(rm2)
+        state[n, :, :] = jnp.where(rm2N, llr_nx, state[n, :, :])
         for i in range(n):
-            state[i, :, :] = jnp.where(rm2, zero, state[i, :, :])
-            state[n + 2 + i, :, :] = jnp.where(rm2, zero,
+            state[i, :, :] = jnp.where(rm2N, zero, state[i, :, :])
+            state[n + 2 + i, :, :] = jnp.where(rm2N, zero,
                                                state[n + 2 + i, :, :])
         m_c = jnp.where(rm2, m_nx, m_c)
-        u_c = jnp.where(rm2, u_nx, u_c)
-        it_c = jnp.where(rm2, zero, it_c)
+        u_c = jnp.where(rm2N, u_nx, u_c)
+        it_c = jnp.where(rm2, z128, it_c)
         ptr = ptr + retire_now
         avail = avail - retire_now
-        pend_c = jnp.maximum(pend_c, retire_bd)
-        return m_c, u_c, it_c, pend_c, ptr, avail, eb, ebl, fr
+        if last:
+            pend_c = jnp.maximum(pend_c, done * (1.0 - has))
 
-    m_c, u_c, it_c, pend_c, _, _, eb, ebl, fr = lax.fori_loop(
-        0, iters, body,
-        (m_c, u_c, it_c, pend_c, ptr, avail, zero, zero, zero))
-
-    meta[0, :, :] = m_c
+    meta[0, :, :] = b128(m_c)
     meta[1, :, :] = u_c
-    meta[2, :, :] = it_c
-    meta[3, :, :] = pend_c
-    eb_row = jnp.sum(eb, axis=1, keepdims=True)
-    ebl_row = jnp.max(ebl, axis=1, keepdims=True)  # lanes equal: max = value
-    fr_row = jnp.max(fr, axis=1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 1)
-    stats_ref[:] = (jnp.where(lane == 0, eb_row, 0.0)
-                    + jnp.where(lane == 1, ebl_row, 0.0)
-                    + jnp.where(lane == 2, fr_row, 0.0))
+    meta[2, :, :] = b128(it_c)
+    meta[3, :, :] = b128(pend_c)
+    cnts = dotf(jnp.concatenate(accs, axis=0), ones_red)  # [(sp+1)*TB, 128]
+    eb_sum = z128
+    ebl = z128
+    for e in range(spares + 1):
+        cnt_e = cnts[e * TB:(e + 1) * TB, :]
+        eb_sum = eb_sum + cnt_e
+        ebl = ebl + (cnt_e > 0.5).astype(f32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 1)
+    stats_ref[:] = (jnp.where(lane_i == 0, eb_sum, 0.0)
+                    + jnp.where(lane_i == 1, ebl, 0.0)
+                    + jnp.where(lane_i == 2, fr, 0.0))
 
 
 @functools.partial(
     jax.jit, static_argnames=("iters", "flavor", "tile", "interpret", "rolls",
                               "iter_max", "delta", "gen_bits", "drain",
-                              "spares")
+                              "spares", "cadence", "bit_gen")
 )
-def bp_wave_mc_pallas(state, meta, u_table, sigma, seeds, bits=None,
+def bp_wave_mc_pallas(state, meta, u_table, x_table, sigma, seeds,
+                      bits=None,
                       iters: int = 8, flavor: str = "minsum_lut",
                       tile: int = 0, interpret: bool = False, rolls: int = 3,
                       iter_max: int = 100, delta: int = 0,
                       gen_bits: bool = True, drain: bool = False,
-                      spares: int = 2):
+                      spares: int = 2, cadence: int = 1,
+                      bit_gen: str = "tf32"):
     """In-kernel-MC wave advance (see _bp_wave_mc_kernel).
 
-    state [2(n+1), B, N] f32; meta [4, B, N] f32; u_table [64, N] f32;
+    state [2(n+1), B, N] f32; meta [4, B, N] f32; u_table/x_table [128, N]
+    f32 (payload rows and their encoded codewords, models/bp.mc_tables);
     sigma f32 scalar; seeds [2] i32 (run seed, step counter — folded with
     the tile id into the in-kernel PRNG); bits [spares, B, N] uint32/int32
     required iff not gen_bits.  Returns (state', meta', stats [B, 128] f32
@@ -583,11 +664,11 @@ def bp_wave_mc_pallas(state, meta, u_table, sigma, seeds, bits=None,
     else:
         bits = jnp.zeros((1, 8, N), jnp.int32)  # placeholder block (unread)
     sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
-    seed_arr = jnp.asarray(seeds, jnp.int32).reshape(1, 2)
+    seed_arr = jnp.asarray(seeds, jnp.int32).reshape(1, 4)
     kernel = functools.partial(
         _bp_wave_mc_kernel, n=n, N=N, TB=tile, iters=iters, chk_fn=chk_fn,
         rolls=rolls, iter_max=iter_max, delta=delta, gen_bits=gen_bits,
-        drain=drain, spares=spares,
+        drain=drain, spares=spares, cadence=cadence, bit_gen=bit_gen,
     )
     bits_spec = (pl.BlockSpec((1, 8, N), lambda g: (0, 0, 0),
                               memory_space=pltpu.VMEM) if gen_bits else
@@ -601,11 +682,13 @@ def bp_wave_mc_pallas(state, meta, u_table, sigma, seeds, bits=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tile, N), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, N), lambda g: (0, 0),
+            pl.BlockSpec((128, N), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, N), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda g: (0, 0),
+            pl.BlockSpec((1, 4), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             bits_spec,
         ],
@@ -627,7 +710,7 @@ def bp_wave_mc_pallas(state, meta, u_table, sigma, seeds, bits=None,
         ),
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
-    )(state, meta, u_table, sig, seed_arr, bits)
+    )(state, meta, u_table, x_table, sig, seed_arr, bits)
     return state, meta, stats
 
 

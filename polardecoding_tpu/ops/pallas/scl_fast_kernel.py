@@ -166,7 +166,7 @@ def schedule_stats(frozen: Tuple[bool, ...], wloop: int = 4) -> dict:
 def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                      llr, bits, sig, gat, pm_ref, ub_ref, tie_ref,
                      *, n, N, L, S, FS, frozen, wloop, T, ablate=(), r1=0,
-                     stacked=False, sig_chunk=0):
+                     stacked=False, sig_chunk=0, ch_rep=False):
     """Refs as scl_tree_kernel._scl_tree_kernel with a leading TILE axis of
     size T (default 1): T independent frame tiles are decoded by ONE kernel
     body with their op streams INTERLEAVED phase by phase.  Rationale
@@ -307,10 +307,20 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
                 gat[t, :w, :, :] = gat[t, :w, :, :] + mask * roll(srcs[t], d)
         return [gat[t, :w, :, :] for t in TR]
 
+    def read_ch(t):
+        """Stage-n channel rows.  ch_rep: the input carries each frame's
+        channel row ONCE (lane dim F, the full-array-dim block exception)
+        and the p-lane replication happens here as one lane concat —
+        removing the XLA-side jnp.tile's B*N*L HBM pass (xprof_scl1024_r4:
+        ~5 % of the full-MC step)."""
+        if ch_rep:
+            return jnp.concatenate([ch_ref[t, :N]] * L, axis=2)
+        return ch_ref[t, :N]
+
     def read_llr(i):
         """Logical-order llr of stage i (i == n -> channel), per tile."""
         if i == n:
-            return [ch_ref[t, :N] for t in TR]
+            return [read_ch(t) for t in TR]
         lo, hi = _slot(i)
         if i <= S or clean_llr[i]:
             return [llr[t, lo:hi, :, :] for t in TR]
@@ -826,11 +836,11 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     else:
         # degenerate tiny-N roots (tests): handled via the channel directly
         if root.kind == "r0":
-            leaves = descend([ch_ref[t, :N] for t in TR], n)
+            leaves = descend([read_ch(t) for t in TR], n)
             add_pen0_serial(leaves, N)
             vs = None
         elif root.kind == "rep":
-            leaves = descend([ch_ref[t, :N] for t in TR], n)
+            leaves = descend([read_ch(t) for t in TR], n)
             add_pen0_serial(leaves, N - 1)
             fork([leaves[t][N - 1 : N, :, :] for t in TR], None)
             vs = [jnp.broadcast_to(ub_ref[t], (N, FS, LANES)) for t in TR]
@@ -850,6 +860,7 @@ def _scl_fast_kernel(ch_ref, fr_ref, u_out_ref, pm_out_ref, tie_out_ref,
     jax.jit,
     static_argnames=("frozen", "list_size", "subtree", "wloop", "interpret",
                      "fs_cap", "tiles", "ablate", "r1", "stacked",
+                     "ch_rep",
                      "sig_chunk"),
 )
 def scl_decode_fast(
@@ -865,6 +876,7 @@ def scl_decode_fast(
     r1: int = 0,
     stacked: bool = False,
     sig_chunk: int = 0,
+    ch_rep: bool = True,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
     STATIC tuple of bools (the compile-time mask).  tiles = T independent
@@ -915,20 +927,23 @@ def scl_decode_fast(
     fr_row = jnp.asarray(frozen, jnp.int32)[None, :]
     C = B // (T * fpt)
     ch_c = ch_llr.reshape(C, T, fs, F, N).transpose(0, 1, 4, 2, 3)
-    ch_c = jnp.tile(ch_c, (1, 1, 1, 1, L))  # [C, T, N, fs, 128]
+    if not ch_rep:  # legacy XLA-side path-lane replication (the A/B base)
+        ch_c = jnp.tile(ch_c, (1, 1, 1, 1, L))  # [C, T, N, fs, 128]
+    CH_LANES = F if ch_rep else LANES
 
     kernel = functools.partial(
         _scl_fast_kernel, n=n, N=N, L=L, S=S, FS=fs, frozen=frozen,
         wloop=wloop, T=T,
         ablate=tuple(s for s in ablate.split(",") if s), r1=r1,
-        stacked=stacked, sig_chunk=sig_chunk,
+        stacked=stacked, sig_chunk=sig_chunk, ch_rep=ch_rep,
     )
 
     u_all_c, PM_c, ties_c = pl.pallas_call(
         kernel,
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((None, T, N, fs, LANES), lambda g: (g, 0, 0, 0, 0),
+            pl.BlockSpec((None, T, N, fs, CH_LANES),
+                         lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),

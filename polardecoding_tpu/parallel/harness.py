@@ -118,9 +118,39 @@ def _make_encoder(encoder: str, info_positions, N: int) -> Callable:
     return lambda w: polar_encode(scatter_info(w, I, N))
 
 
+def _mc_mode_tables(code):
+    """(u_table, x_table) [128, N] f32 for the in-kernel MC channel: row m
+    = the full true-u row (payload + CRC bits scattered over the info set)
+    for PN offset m, and its encoded codeword.  63 live rows + zero pad
+    (one-hot MXU row select, ops/pallas/channel_kernel.py)."""
+    import numpy as np
+
+    from polardecoding_tpu.ops.crc import (
+        crc_encode_multiplicative as _crc_mult,
+        crc_encode_systematic as _crc_sys,
+    )
+
+    N, K = code.N, code.K
+    pn = pn_sequence()
+    pays = np.zeros((PN_PERIOD, K), np.int8)
+    for m in range(PN_PERIOD):
+        pays[m] = pn[(m + np.arange(K)) % PN_PERIOD]
+    w = jnp.asarray(pays)
+    if code.crc is not None:
+        enc = _crc_sys if code.crc_style == "systematic" else _crc_mult
+        w = enc(w, code.crc)
+    I = jnp.asarray(code_info_set(code))
+    u_full = scatter_info(w, I, N)
+    x = polar_encode(u_full)
+    pad = jnp.zeros((128 - PN_PERIOD, N), jnp.float32)
+    utab = jnp.concatenate([u_full.astype(jnp.float32), pad], axis=0)
+    xtab = jnp.concatenate([x.astype(jnp.float32), pad], axis=0)
+    return utab, xtab
+
+
 def make_frame_step(preset: Preset, batch: int, mesh=None,
                     llr_dtype=None, bp_engine="auto",
-                    encoder="mxu") -> Callable:
+                    encoder="mxu", channel="threefry") -> Callable:
     """Build the jitted super-batch step: (key, frame_start, sigma) ->
     (errbit, errblock, pm_ties) int32 scalars summed over the batch
     (pm_ties = frames with an SCL median PM tie; 0 for non-list decoders).
@@ -129,7 +159,12 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
     jnp.bfloat16); channel LLRs are cast once before decode.  Default None
     keeps the f32 production path (results/REPRODUCTION.md precision study).
     encoder: "mxu" (default) or "butterfly" — bit-identical codewords
-    (tests/test_encode.py), so every counter is encoder-independent."""
+    (tests/test_encode.py), so every counter is encoder-independent.
+    channel: "threefry" (production default — per-frame fold_in keys, pure
+    in (seed, frame index)) or "mc" — the in-kernel MC channel
+    (ops/pallas/channel_kernel.py: one-hot codeword table + in-kernel PRNG
+    bits; LLRs pure in (seed, step, B)); an opt-in qualified flavor that
+    removes the XLA-side RNG/encode/payload slice of the step."""
     code, dec = preset.code, preset.decoder
     N, K = code.N, code.K
     num_info = code.num_info
@@ -139,6 +174,10 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
     crc_R = check_matrix(code.crc, num_info) if code.crc else None
     encode = _make_encoder(encoder, code_info_set(code), N)
     shard = batch_sharding(mesh) if mesh is not None and mesh.devices.size > 1 else None
+    assert channel in ("threefry", "mc"), channel
+    if channel == "mc":
+        utab_mc, xtab_mc = _mc_mode_tables(code)
+        on_tpu_mc = jax.default_backend() not in ("cpu", "gpu")
 
     def decode(llr):
         """-> (u_hat [B, N] int8, tie frame counter [B] int32 or None)."""
@@ -164,20 +203,45 @@ def make_frame_step(preset: Preset, batch: int, mesh=None,
         fidx = frame_start + jnp.arange(batch, dtype=jnp.int32)
         if shard is not None:
             fidx = lax.with_sharding_constraint(fidx, shard)
-        payload = payload_from_index(fidx, pn, K)
-        if code.crc is None:
-            w = payload
-        elif code.crc_style == "systematic":
-            w = crc_encode_systematic(payload, code.crc)
+        if channel == "mc":
+            from polardecoding_tpu.ops.pallas.channel_kernel import (
+                mc_channel_jnp,
+                mc_channel_pallas,
+            )
+
+            m = (fidx * (K % PN_PERIOD)) % PN_PERIOD
+            if on_tpu_mc:
+                kd = (jax.random.key_data(key)
+                      if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+                      else key).astype(jnp.int32)
+                llr = mc_channel_pallas(
+                    m, xtab_mc, sigma,
+                    jnp.stack([kd[0], kd[1], kd[0] ^ kd[1], frame_start]))
+            else:
+                bits = jax.random.bits(jax.random.fold_in(key, frame_start),
+                                       (batch, N), jnp.uint32)
+                llr = mc_channel_jnp(m, xtab_mc, sigma, bits)
+            if llr_dtype is not None:
+                llr = llr.astype(llr_dtype)
+            u_hat, ties = decode(llr)
+            # frozen rows agree (both 0), so the all-N compare counts
+            # exactly the info-set mismatches
+            bad = u_hat != utab_mc[m].astype(jnp.int8)
         else:
-            w = crc_encode_multiplicative(payload, code.crc)
-        x = encode(w)
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
-        llr = awgn_llr(x, keys, sigma)
-        if llr_dtype is not None:
-            llr = llr.astype(llr_dtype)
-        u_hat, ties = decode(llr)
-        bad = u_hat[:, I] != w
+            payload = payload_from_index(fidx, pn, K)
+            if code.crc is None:
+                w = payload
+            elif code.crc_style == "systematic":
+                w = crc_encode_systematic(payload, code.crc)
+            else:
+                w = crc_encode_multiplicative(payload, code.crc)
+            x = encode(w)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(fidx)
+            llr = awgn_llr(x, keys, sigma)
+            if llr_dtype is not None:
+                llr = llr.astype(llr_dtype)
+            u_hat, ties = decode(llr)
+            bad = u_hat[:, I] != w
         errbit = jnp.sum(bad, dtype=jnp.int32)
         errblock = jnp.sum(jnp.any(bad, axis=-1), dtype=jnp.int32)
         pm_ties = (jnp.int32(0) if ties is None
@@ -509,7 +573,8 @@ def make_wave_step(preset: Preset, batch: int, wave_iters: int = 8,
 
 
 def make_wave_step_mc(preset: Preset, batch: int, wave_iters: int = 8,
-                      noise: str = "kernel", spares: int = 2) -> tuple:
+                      noise: str = "kernel", spares: int = 0,
+                      cadence: int = 1, tile: int = 0) -> tuple:
     """In-kernel-MC continuous-batching BP stepper (v3 wave engine).
 
     The whole MC step — refill generation, K iterations, PER-ITERATION
@@ -533,18 +598,24 @@ def make_wave_step_mc(preset: Preset, batch: int, wave_iters: int = 8,
     Returns (init, step, drain) with make_wave_step's signatures.
     """
     from polardecoding_tpu.models.bp import (
-        bp_wave_mc, mc_delta, mc_meta_init, mc_u_table, wave_init_state,
+        bp_wave_mc, mc_delta, mc_meta_init, mc_tables, wave_init_state,
     )
 
     code, dec = preset.code, preset.decoder
     assert dec.kind == "bp", "wave stepping is a BP engine"
     N, K = code.N, code.K
     iter_max = dec.bp_iters
+    if spares == 0:
+        # cover the expected retires per slot per wave (~wave_iters / E[X],
+        # E[X] ~ 10 at operating SNRs); measured K16 s2 == s3, K24 s3 and
+        # K32 s4 best (results/hw_queue_r5/step5-6)
+        spares = max(2, wave_iters // 8)
     frozen = jnp.asarray(code_frozen_mask(code))
-    utab = mc_u_table(code_info_set(code), K, N)
+    utab, xtab = mc_tables(code_info_set(code), K, N)
     delta = mc_delta(batch, K)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    gen_bits = noise == "kernel" and on_tpu
+    gen_bits = noise in ("kernel", "hw") and on_tpu
+    bit_gen = "hw" if noise == "hw" else "tf32"
 
     def _bits(ckey, stepc):
         if gen_bits:
@@ -553,8 +624,14 @@ def make_wave_step_mc(preset: Preset, batch: int, wave_iters: int = 8,
                                (spares, batch, N), jnp.uint32)
 
     def _seeds(ckey, stepc):
-        s = jax.random.randint(ckey, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
-        return jnp.stack([s, stepc])
+        # [k0, k1, hw_seed, step]: k0/k1 are the run key words (threefry
+        # keys for the in-kernel tf32 counter generator); step feeds the
+        # counter high word
+        kd = (jax.random.key_data(ckey)
+              if jnp.issubdtype(ckey.dtype, jax.dtypes.prng_key)
+              else ckey)
+        kd = kd.astype(jnp.int32)
+        return jnp.stack([kd[0], kd[1], kd[0] ^ kd[1], stepc])
 
     @jax.jit
     def init(key, frame_start, sigma):
@@ -571,9 +648,10 @@ def make_wave_step_mc(preset: Preset, batch: int, wave_iters: int = 8,
     def step(key, sigma, carry):
         state, meta, stepc, ckey = carry
         state, meta, stats = bp_wave_mc(
-            state, meta, utab, sigma, _seeds(ckey, stepc),
+            state, meta, utab, xtab, sigma, _seeds(ckey, stepc),
             bits=_bits(ckey, stepc), iters=wave_iters, flavor=dec.bp_flavor,
-            iter_max=iter_max, delta=delta, gen_bits=gen_bits, spares=spares)
+            iter_max=iter_max, delta=delta, gen_bits=gen_bits, spares=spares,
+            cadence=cadence, tile=tile, bit_gen=bit_gen)
         eb = jnp.sum(stats[:, 0]).astype(jnp.int32)
         ebl = jnp.sum(stats[:, 1]).astype(jnp.int32)
         fr = jnp.sum(stats[:, 2]).astype(jnp.int32)
@@ -583,10 +661,10 @@ def make_wave_step_mc(preset: Preset, batch: int, wave_iters: int = 8,
     def drain(sigma, carry):
         state, meta, stepc, ckey = carry
         state, meta, stats = bp_wave_mc(
-            state, meta, utab, sigma, _seeds(ckey, stepc),
+            state, meta, utab, xtab, sigma, _seeds(ckey, stepc),
             bits=_bits(ckey, stepc), iters=wave_iters, flavor=dec.bp_flavor,
             iter_max=iter_max, delta=delta, gen_bits=gen_bits, drain=True,
-            spares=spares)
+            spares=spares, cadence=cadence, tile=tile, bit_gen=bit_gen)
         eb = jnp.sum(stats[:, 0]).astype(jnp.int32)
         ebl = jnp.sum(stats[:, 1]).astype(jnp.int32)
         fr = jnp.sum(stats[:, 2]).astype(jnp.int32)
@@ -612,6 +690,8 @@ def run_point_waves(
     check_every: int = 0,
     engine: str = "fused",
     noise: str = "kernel",
+    cadence: int = 1,
+    spares: int = 0,
 ) -> PointResult:
     """Adaptive MC at one SNR point on the continuous-batching BP engine.
 
@@ -628,7 +708,9 @@ def run_point_waves(
         batch = round_up_batch(sweep.batch_per_device * mesh.devices.size, mesh)
     if engine == "mc":
         init, step, drain_step = make_wave_step_mc(preset, batch, wave_iters,
-                                                   noise=noise)
+                                                   noise=noise,
+                                                   cadence=cadence,
+                                                   spares=spares)
     else:
         init, step, drain_step = make_wave_step(preset, batch, wave_iters,
                                                 mesh, fused=fused,

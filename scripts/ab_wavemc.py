@@ -50,6 +50,23 @@ def build(name):
     elif name == "mc-tf":
         init, step, _ = make_wave_step_mc(p, B, wave_iters=K,
                                           noise="threefry")
+    elif name.startswith("mc-c"):  # retire-check cadence variants
+        init, step, _ = make_wave_step_mc(p, B, wave_iters=K, noise="kernel",
+                                          cadence=int(name[4:]))
+    elif name.startswith("mc-t"):  # pallas tile-size variants (cadence 1)
+        init, step, _ = make_wave_step_mc(p, B, wave_iters=K, noise="kernel",
+                                          tile=int(name[4:]))
+    elif name.startswith("mc-w"):  # tileXcadence: mc-w<tile>x<cad>
+        t, c = name[4:].split("x")
+        init, step, _ = make_wave_step_mc(p, B, wave_iters=K, noise="kernel",
+                                          tile=int(t), cadence=int(c))
+    elif name.startswith("mc-k"):  # mc-k<K>s<spares>c<cadence>
+        import re
+        m = re.fullmatch(r"mc-k(\d+)s(\d+)c(\d+)", name)
+        init, step, _ = make_wave_step_mc(p, B, wave_iters=int(m.group(1)),
+                                          noise="kernel",
+                                          spares=int(m.group(2)),
+                                          cadence=int(m.group(3)))
     else:
         raise SystemExit(f"unknown variant {name}")
 

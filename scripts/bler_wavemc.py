@@ -25,13 +25,24 @@ import sys
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+import dataclasses
+
 from polardecoding_tpu.configs import preset
 from polardecoding_tpu.parallel.harness import run_point_waves
+
+
+def _with_itermax(p, iters):
+    return dataclasses.replace(
+        p, name=f"{p.name}_I{iters}",
+        decoder=dataclasses.replace(p.decoder, bp_iters=iters))
 
 SNRS = [float(s) for s in os.environ.get("PD_SNRS", "2.0,3.5").split(",")]
 PRESET = os.environ.get("PD_PRESET", "BP_1024_FASTCHK")
 ENGINES = os.environ.get("PD_ENGINES", "fused,mc,mc-tf").split(",")
 BATCH = int(os.environ.get("PD_BATCH", "16384"))
+MC_K = int(os.environ.get("PD_MC_K", "8"))  # mc-engine wave_iters
+MC_CAD = int(os.environ.get("PD_MC_CADENCE", "1"))
+FUSED_K = int(os.environ.get("PD_FUSED_K", "8"))
 
 
 def main():
@@ -44,13 +55,28 @@ def main():
         out = {}
         for eng in ENGINES:
             kw = {}
-            if eng == "fused":
+            pp = p
+            base = eng
+            # "<engine>-i<N>" suffix: reduced-iterMax flavor (verdict r4
+            # item 4 — the ~2.5 % iterMax tail pays ~100 iters for frames
+            # that almost never converge past ~40; a qualified lower cap
+            # trades an unmeasurable BLER shift for throughput)
+            if "-i" in eng:
+                base, it = eng.rsplit("-i", 1)
+                pp = _with_itermax(p, int(it))
+            wi = FUSED_K
+            if base == "fused":
                 kw = dict(engine="fused")
-            elif eng == "mc":
-                kw = dict(engine="mc", noise="kernel")
-            elif eng == "mc-tf":
-                kw = dict(engine="mc", noise="threefry")
-            r = run_point_waves(p, snr, batch=BATCH,
+            elif base == "mc":
+                kw = dict(engine="mc", noise="kernel", cadence=MC_CAD)
+                wi = MC_K
+            elif base == "mc-tf":
+                kw = dict(engine="mc", noise="threefry", cadence=MC_CAD)
+                wi = MC_K
+            elif base.startswith("mc-c"):
+                kw = dict(engine="mc", noise="kernel", cadence=int(base[4:]))
+                wi = MC_K
+            r = run_point_waves(pp, snr, batch=BATCH, wave_iters=wi,
                                 error_blocks=args.error_blocks,
                                 max_frames=args.max_frames, **kw)
             out[eng] = r

@@ -285,3 +285,20 @@ def test_default_tiles():
     assert default_tiles(10, 4, 8192) == 1  # unmeasured config
     assert default_tiles(7, 8, 16384) == 2  # N=128 measured (r4 step26)
     assert default_tiles(7, 8, 16) == 1     # sub-tile batch cannot split
+
+
+def test_scl_fast_ch_rep_modes_identical():
+    """In-kernel path-lane channel replication (ch_rep=True, the default)
+    must be bit-identical to the legacy XLA-side jnp.tile path — the lane
+    concat places exactly the same values in every p-lane segment."""
+    fr = frozen_mask(32, 16)
+    rng = np.random.default_rng(3)
+    llr = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32) * 3)
+    frt = tuple(bool(b) for b in fr)
+    ua, pma, ta = scl_decode_fast(llr, frt, list_size=4, wloop=4,
+                                  interpret=True, ch_rep=True)
+    ub, pmb, tb = scl_decode_fast(llr, frt, list_size=4, wloop=4,
+                                  interpret=True, ch_rep=False)
+    assert (np.asarray(ua) == np.asarray(ub)).all()
+    assert (np.asarray(pma) == np.asarray(pmb)).all()
+    assert (np.asarray(ta) == np.asarray(tb)).all()
