@@ -259,8 +259,11 @@ def _scl_kernel(ch_llr, frozen, list_size, r1=0):
         import os
 
         # measurement hook for the r5 in-kernel channel-replication A/B
-        # (scripts/ab_sclmc.py); production default is the in-kernel path
-        ch_rep = os.environ.get("PD_SCL_CHREP", "1") == "1"
+        # (scripts/ab_sclmc.py).  The in-kernel path measured -3.6 % at
+        # B=16384 (results/hw_queue_r5/step11 — the lane-concat expansion
+        # costs more than the XLA pre-tile it saves), so the default stays
+        # the XLA tile; the flag and its parity test remain as the record.
+        ch_rep = os.environ.get("PD_SCL_CHREP", "0") == "1"
         return scl_decode_fast(ch_llr, fz, list_size=list_size,
                                wloop=default_wloop(n, list_size), r1=r1,
                                tiles=default_tiles(n, list_size, B),

@@ -876,7 +876,7 @@ def scl_decode_fast(
     r1: int = 0,
     stacked: bool = False,
     sig_chunk: int = 0,
-    ch_rep: bool = True,
+    ch_rep: bool = False,
 ):
     """Frozen-specialized Pallas SCL decode.  ch_llr [B, N] f32; frozen is a
     STATIC tuple of bools (the compile-time mask).  tiles = T independent
