@@ -31,9 +31,19 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import time
 
+# persistent compile cache: the K=32 mc wave kernel alone is a ~9 min
+# Mosaic compile through the tunnel (results/hw_queue_r5/step13)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 import jax
+
+# sitecustomize may pre-import jax, making the env var too late (CLAUDE.md
+# "Environment") — the config update works either way
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -89,7 +99,7 @@ def bench_step(preset_name, batch, snr_db=2.0, iters=5, warmup=2,
 def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
                 steps=12, warmup=3, mesh=None, fused=True, encoder="mxu",
                 check_every=0, steps_per_call=8, engine="fused",
-                noise="kernel", cadence=1):
+                noise="kernel", cadence=1, itermax=0):
     """Steady-state retired frames/s of the continuous-batching BP engine.
 
     Steps run `steps_per_call` per jit dispatch via lax.scan (counters
@@ -103,6 +113,12 @@ def bench_waves(preset_name="BP_1024", batch=16384, snr_db=2.0, wave_iters=8,
     per-iteration retirement + counting inside the Mosaic kernel,
     make_wave_step_mc); `noise` picks its bit source."""
     p = preset(preset_name)
+    if itermax:
+        import dataclasses
+
+        p = dataclasses.replace(
+            p, name=f"{p.name}_I{itermax}",
+            decoder=dataclasses.replace(p.decoder, bp_iters=itermax))
     mesh = mesh or data_mesh()
     if engine == "mc":
         init, step, _ = make_wave_step_mc(p, batch, wave_iters, noise=noise,
@@ -174,6 +190,12 @@ def main():
                          "32 mc — the r5 A/B optimum)")
     ap.add_argument("--wave-cadence", type=int, default=2,
                     help="mc-engine retire-check cadence (r5 A/B: c2 best)")
+    ap.add_argument("--wave-itermax", type=int, default=0,
+                    help="override the preset's BP iterMax for the wave leg "
+                         "(0 = preset value).  REJECTED as a default: +12%% "
+                         "fps at iterMax=48 but window BLER 0.0337 vs "
+                         "0.0274 — a materially worse decoder "
+                         "(results/hw_queue_r5/step13, docs/ROOFLINE.md)")
     ap.add_argument("--channel", choices=("threefry", "mc"),
                     default="threefry",
                     help="frame-step channel: production threefry or the "
@@ -236,7 +258,8 @@ def main():
                                   check_every=args.wave_check_every,
                                   engine=args.wave_engine,
                                   noise=args.wave_noise,
-                                  cadence=args.wave_cadence)
+                                  cadence=args.wave_cadence,
+                                  itermax=args.wave_itermax)
 
     bp_fps = bp_fixed_fps if bp_wave_fps is None else bp_wave_fps
     worst = min(bp_fps, scl_fps)
@@ -251,6 +274,8 @@ def main():
         else round(bp_wave_fps, 1),
         "wave_preset": None if bp_wave_fps is None else args.wave_preset,
         "wave_engine": None if bp_wave_fps is None else args.wave_engine,
+        "wave_itermax": None if bp_wave_fps is None
+        else (args.wave_itermax or preset(args.wave_preset).decoder.bp_iters),
         "bp_1024_fixed100_fps": round(bp_fixed_fps, 1),
         # the SCL leg is labeled by its preset — the default is the
         # BLER-qualified FASTR1 throughput flavor, NOT the exact

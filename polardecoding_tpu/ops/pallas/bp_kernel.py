@@ -318,7 +318,13 @@ def bp_wave_fused_pallas(state, llr, retire, iters: int = 8,
     chk_fn = {"minsum_lut": chk, "minsum_lut_fast": chk_fast,
               "spa": chk_exact}[flavor]
     if tile == 0:
-        budget = 3 * 1024 * 1024
+        # 6 MB state budget: admits TB=64 at N=1024, the measured optimum
+        # (kernel-only slot-wave A/B, results/hw_queue_r5/step14: TB64
+        # 583.8k vs TB32 554.7k (+5.2%) vs TB16 501.0k; N=128 default
+        # unchanged at 256).  Tile size cannot change results: outputs are
+        # pure per frame (see _bp_wave_fused_kernel), pinned by
+        # test_wave_fused_tile_independence.
+        budget = 6 * 1024 * 1024
         cap = max(8, budget // (S2 * N * 4))
         tile = 8
         while tile * 2 <= min(cap, 256) and B % (tile * 2) == 0:

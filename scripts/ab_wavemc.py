@@ -60,10 +60,20 @@ def build(name):
         t, c = name[4:].split("x")
         init, step, _ = make_wave_step_mc(p, B, wave_iters=K, noise="kernel",
                                           tile=int(t), cadence=int(c))
-    elif name.startswith("mc-k"):  # mc-k<K>s<spares>c<cadence>
+    elif name.startswith("mc-k"):  # mc-k<K>s<spares>c<cadence>[i<iterMax>]
+        import dataclasses
         import re
-        m = re.fullmatch(r"mc-k(\d+)s(\d+)c(\d+)", name)
-        init, step, _ = make_wave_step_mc(p, B, wave_iters=int(m.group(1)),
+        m = re.fullmatch(r"mc-k(\d+)s(\d+)c(\d+)(?:i(\d+))?", name)
+        pp = p
+        if m.group(4):
+            # reduced-iterMax flavor (verdict r4 item 4): frames at the cap
+            # retire as failures in-kernel, cutting the ~w*iterMax slice of
+            # the iteration budget the non-converged tail pays
+            pp = dataclasses.replace(
+                p, name=f"{p.name}_I{m.group(4)}",
+                decoder=dataclasses.replace(p.decoder,
+                                            bp_iters=int(m.group(4))))
+        init, step, _ = make_wave_step_mc(pp, B, wave_iters=int(m.group(1)),
                                           noise="kernel",
                                           spares=int(m.group(2)),
                                           cadence=int(m.group(3)))

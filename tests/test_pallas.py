@@ -240,3 +240,25 @@ def test_bp_pallas_spa_flavor():
         bp_decode_pallas(llr, fr, iters=6, flavor="spa", tile=8, interpret=True)
     )
     assert (a == b).all()
+
+
+def test_wave_fused_tile_independence():
+    """Tile size is a pure scheduling knob: per-frame outputs and state are
+    bit-identical across TB (pins the r5 default flip to TB=64 at N=1024,
+    results/hw_queue_r5/step14 — measured on small shapes here)."""
+    from polardecoding_tpu.models.bp import wave_init_state
+    from polardecoding_tpu.ops.pallas.bp_kernel import bp_wave_fused_pallas
+
+    N, K, B = 64, 32, 32
+    fr = jnp.asarray(frozen_mask(N, K))
+    rng = np.random.default_rng(11)
+    state = wave_init_state(
+        jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2), fr)
+    new_llr = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 2)
+    retire = jnp.asarray(rng.integers(0, 2, size=B).astype(bool))
+    outs = [bp_wave_fused_pallas(state, new_llr, retire, iters=5, tile=t,
+                                 interpret=True) for t in (8, 16, 32)]
+    for s, u, d in outs[1:]:
+        assert np.array_equal(np.asarray(outs[0][0]), np.asarray(s))
+        assert np.array_equal(np.asarray(outs[0][1]), np.asarray(u))
+        assert np.array_equal(np.asarray(outs[0][2]), np.asarray(d))
